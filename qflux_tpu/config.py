@@ -1,0 +1,306 @@
+"""YAML → pydantic configuration tree.
+
+TPU-native re-design of the reference's config layer (reference
+src/qflux/data/config.py: pydantic Config at :744-830, loaded through OmegaConf
+at :838-855).  Differences from the reference, by design:
+
+  * device-placement maps (reference config.py:60-101) are replaced by a
+    MeshSection — on TPU, placement is sharding over one mesh, not per-module
+    `.to(device)` juggling;
+  * resolution lists additionally define the *bucket registry* for static-shape
+    compilation (reference treats them only as a resize policy);
+  * `${a.b}` interpolation is implemented here directly (omegaconf is not a
+    dependency).
+
+Pixel-count expressions like "512*512" are accepted anywhere a pixel budget is
+expected (reference config.py:141-149).
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from enum import Enum
+from pathlib import Path
+from typing import Any, Literal, Optional, Union
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, field_validator, model_validator
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_INTERP = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+
+def _lookup(tree: Any, dotted: str) -> Any:
+    node = tree
+    for part in dotted.split("."):
+        if isinstance(node, dict):
+            node = node[part]
+        elif isinstance(node, list):
+            node = node[int(part)]
+        else:
+            raise KeyError(dotted)
+    return node
+
+
+def resolve_interpolations(tree: Any) -> Any:
+    """Resolve ${a.b.c} references against the document root (omegaconf-style)."""
+
+    def resolve(node: Any, seen: tuple[str, ...] = ()) -> Any:
+        if isinstance(node, dict):
+            return {k: resolve(v, seen) for k, v in node.items()}
+        if isinstance(node, list):
+            return [resolve(v, seen) for v in node]
+        if isinstance(node, str):
+            m = _INTERP.fullmatch(node)
+            if m:  # whole-string reference: preserve referenced type
+                key = m.group(1)
+                if key in seen:
+                    raise ValueError(f"circular interpolation: {' -> '.join(seen + (key,))}")
+                return resolve(_lookup(tree, key), seen + (key,))
+
+            def sub(mm):
+                key = mm.group(1)
+                if key in seen:
+                    raise ValueError(f"circular interpolation: {' -> '.join(seen + (key,))}")
+                return str(resolve(_lookup(tree, key), seen + (key,)))
+
+            return _INTERP.sub(sub, node)
+        return node
+
+    return resolve(tree)
+
+
+def parse_pixels(value: Union[int, str, None]) -> Optional[int]:
+    """Parse pixel budgets: 262144 or "512*512" (safe arith only)."""
+    if value is None or isinstance(value, int):
+        return value
+    node = ast.parse(str(value), mode="eval").body
+
+    def ev(n):
+        if isinstance(n, ast.Constant) and isinstance(n.value, (int, float)):
+            return n.value
+        if isinstance(n, ast.BinOp) and isinstance(n.op, (ast.Mult, ast.Add, ast.Sub, ast.FloorDiv, ast.Div, ast.Pow)):
+            ops = {ast.Mult: lambda a, b: a * b, ast.Add: lambda a, b: a + b,
+                   ast.Sub: lambda a, b: a - b, ast.FloorDiv: lambda a, b: a // b,
+                   ast.Div: lambda a, b: a / b, ast.Pow: lambda a, b: a ** b}
+            return ops[type(n.op)](ev(n.left), ev(n.right))
+        raise ValueError(f"unsupported pixel expression: {value!r}")
+
+    return int(ev(node))
+
+
+class StrictModel(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+
+# ---------------------------------------------------------------------------
+# enums
+
+class TrainerKind(str, Enum):
+    """Maps 1:1 onto the reference's trainer registry (reference main.py:16-39)."""
+
+    flux_kontext = "FluxKontextLoraTrainer"
+    qwen_image_edit = "QwenImageEditTrainer"
+    qwen_image_edit_plus = "QwenImageEditPlusTrainer"
+    dreamomni2 = "DreamOmni2Trainer"
+    flux2_klein = "Flux2KleinLoraTrainer"
+
+
+class RunMode(str, Enum):
+    fit = "fit"
+    cache = "cache"
+    predict = "predict"
+
+
+# ---------------------------------------------------------------------------
+# sections
+
+class MeshSection(StrictModel):
+    """Replaces the reference's accelerate_config.yaml + device maps."""
+
+    dp: int = 1
+    fsdp: int = -1
+    tp: int = 1
+    dcn_axes: list[str] = Field(default_factory=list)
+    # remat ≈ the reference's gradient checkpointing (base_trainer.py:324-325)
+    remat: Literal["none", "minimal", "full"] = "full"
+
+
+class LoraSection(StrictModel):
+    r: int = 16
+    lora_alpha: int = 16
+    init_lora_weights: Union[bool, str] = "gaussian"
+    target_modules: list[str] = Field(
+        default_factory=lambda: ["to_q", "to_k", "to_v", "to_out", "add_q", "add_k", "add_v", "add_out"]
+    )
+    pretrained_weight: Optional[str] = None
+
+
+class QuantizeSection(StrictModel):
+    enabled: bool = False
+    # int8 weight-only is the TPU-native analogue of the reference's
+    # bnb int8/NF4 path (reference models/quantize.py:169-273)
+    dtype: Literal["int8", "fp8_e4m3", "fp8_e5m2"] = "int8"
+    skip_patterns: list[str] = Field(default_factory=lambda: [r".*norm.*", r".*embed.*"])
+
+
+class ModelSection(StrictModel):
+    pretrained_model_name_or_path: Optional[str] = None
+    # component overrides for tests / partial loading
+    dit_path: Optional[str] = None
+    vae_path: Optional[str] = None
+    text_encoder_path: Optional[str] = None
+    text_encoder_2_path: Optional[str] = None
+    tokenizer_path: Optional[str] = None
+    lora: LoraSection = Field(default_factory=LoraSection)
+    quantize: Union[bool, QuantizeSection] = False
+    pretrained_embeddings: Optional[str] = None
+    use_vlm_prompt_enhancer: bool = False
+    # size preset for tests: "full" loads real weights; "test" builds a tiny
+    # random-init model with the same topology
+    variant: str = "full"
+
+    @field_validator("quantize")
+    @classmethod
+    def _coerce_quant(cls, v):
+        if isinstance(v, bool):
+            return QuantizeSection(enabled=v)
+        return v
+
+
+class ProcessorSection(StrictModel):
+    """Resolution policy (reference data/preprocess.py:464-498)."""
+
+    process_type: Literal[
+        "resize", "center_crop", "center_padding", "right_padding", "fixed_pixels"
+    ] = "resize"
+    resize_mode: str = "bilinear"
+    target_size: Optional[list[int]] = None      # [H, W]
+    controls_size: Optional[list[Optional[list[int]]]] = None
+    target_pixels: Optional[Union[int, str]] = None
+    controls_pixels: Optional[list[Union[int, str, None]]] = None
+    # multi-resolution candidates: list of [H, W] or {target: [...], controls: [[...], ...]}
+    multi_resolutions: Optional[Union[list, dict]] = None
+    max_aspect_ratio: float = 4.0
+    divisible_by: int = 16
+
+    @field_validator("target_pixels")
+    @classmethod
+    def _pix(cls, v):
+        return parse_pixels(v)
+
+    @field_validator("controls_pixels")
+    @classmethod
+    def _pixs(cls, v):
+        if v is None:
+            return v
+        return [parse_pixels(x) for x in v]
+
+
+class DataSection(StrictModel):
+    class_path: str = "qflux_tpu.data.dataset.ImageDataset"
+    init_args: dict[str, Any] = Field(default_factory=dict)
+    processor: ProcessorSection = Field(default_factory=ProcessorSection)
+    batch_size: int = 1
+    shuffle: bool = True
+    drop_last: bool = True
+    num_workers: int = 0
+    caption_dropout_rate: float = 0.0
+    use_edit_mask: bool = False
+
+
+class CacheSection(StrictModel):
+    use_cache: bool = False
+    cache_dir: Optional[str] = None
+    # VAE latents are deterministic (mode of the latent dist,
+    # reference flux_kontext_trainer.py:885-889) so caching is exact.
+
+
+class OptimizerSection(StrictModel):
+    class_path: str = "optax.adamw"
+    init_args: dict[str, Any] = Field(default_factory=lambda: {"b1": 0.9, "b2": 0.999, "weight_decay": 1e-2})
+    learning_rate: float = 1e-4
+
+
+class LRSchedulerSection(StrictModel):
+    scheduler_type: Literal["constant", "cosine", "linear", "constant_with_warmup"] = "constant"
+    warmup_steps: int = 0
+
+
+class TrainSection(StrictModel):
+    gradient_accumulation_steps: int = 1
+    max_train_steps: int = 1000
+    num_epochs: int = 10000
+    checkpointing_steps: int = 500
+    max_grad_norm: float = 1.0
+    timestep_sampling: Literal["uniform", "logit_normal", "shift", "weighted"] = "uniform"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    seed: int = 1234
+    weight_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    low_memory: bool = False
+
+
+class ValidationSection(StrictModel):
+    enabled: bool = False
+    steps: int = 500
+    num_inference_steps: int = 20
+    true_cfg_scale: float = 1.0
+    guidance: float = 2.5
+    samples: list[dict[str, Any]] = Field(default_factory=list)
+
+
+class LoggingSection(StrictModel):
+    output_dir: str = "output"
+    project: str = "qflux_tpu"
+    report_to: Literal["tensorboard", "wandb", "swanlab", "none"] = "tensorboard"
+    tracker_project_name: Optional[str] = None
+    sampling_seed: int = 42
+
+
+class PredictSection(StrictModel):
+    num_inference_steps: int = 20
+    guidance: float = 2.5
+    true_cfg_scale: float = 1.0
+    max_sequence_length: int = 512
+
+
+class LossSection(StrictModel):
+    class_path: str = "qflux_tpu.losses.MseLoss"
+    init_args: dict[str, Any] = Field(default_factory=dict)
+
+
+class Config(StrictModel):
+    trainer: TrainerKind = TrainerKind.flux_kontext
+    mode: RunMode = RunMode.fit
+    resume: Optional[str] = None
+    mesh: MeshSection = Field(default_factory=MeshSection)
+    model: ModelSection = Field(default_factory=ModelSection)
+    data: DataSection = Field(default_factory=DataSection)
+    cache: CacheSection = Field(default_factory=CacheSection)
+    train: TrainSection = Field(default_factory=TrainSection)
+    optimizer: OptimizerSection = Field(default_factory=OptimizerSection)
+    lr_scheduler: LRSchedulerSection = Field(default_factory=LRSchedulerSection)
+    validation: ValidationSection = Field(default_factory=ValidationSection)
+    logging: LoggingSection = Field(default_factory=LoggingSection)
+    predict: PredictSection = Field(default_factory=PredictSection)
+    loss: LossSection = Field(default_factory=LossSection)
+
+    @model_validator(mode="after")
+    def _wire_cache_into_data(self):
+        # mirror the reference's cross-default wiring (config.py:822-830)
+        if self.cache.use_cache and self.cache.cache_dir:
+            self.data.init_args.setdefault("cache_dir", self.cache.cache_dir)
+            self.data.init_args.setdefault("use_cache", True)
+        return self
+
+
+def load_config_from_yaml(path: str | Path) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    raw = resolve_interpolations(raw)
+    return Config.model_validate(raw)

@@ -1,0 +1,261 @@
+"""FLUX MMDiT (19 dual-stream + 38 single-stream blocks) — TPU-native.
+
+Functional re-design of the FLUX.1 transformer the reference vendors
+(reference models/transformer_flux.py:557-828; dual block :440-523; single
+block :386-437), built for XLA:
+
+  * parameters are a nested-dict pytree; blocks are STACKED (leading axis =
+    layer) and iterated with `lax.scan` — one traced block body instead of 57
+    unrolled ones, fast compiles, natural per-block remat;
+  * joint attention runs through ops.attention (Pallas flash kernel on TPU)
+    with segment-id masking replacing the reference's [B,1,S,S] additive
+    attention_mask for multi-res padded batches;
+  * RoPE cos/sin are computed once per call from the (txt, img) id
+    concatenation (ops.rope) — per-sample 3D ids ([B,S,3]) are supported
+    directly, which subsumes the reference's FluxPosEmbedBatched custom model
+    (reference models/transformer_flux_custom.py:69-172);
+  * LoRA lives in a separate tree merged via ops.layers.merge_lora.
+
+Math matches the reference exactly (AdaLN-Zero modulation, qk RMSNorm, GELU-
+tanh MLPs, 2×2-packed 64-channel tokens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
+from qflux_tpu.ops.attention import dot_product_attention
+from qflux_tpu.ops.layers import dense, dense_init, mlp_init
+from qflux_tpu.ops.norms import ada_ln_mods, layer_norm, modulate, rms_norm
+from qflux_tpu.ops.rope import rope_from_coords
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    patch_size: int = 1
+    in_channels: int = 64
+    out_channels: int = 64
+    num_layers: int = 19
+    num_single_layers: int = 38
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 768
+    guidance_embeds: bool = True  # FLUX.1-Kontext-dev is guidance-distilled
+    axes_dims_rope: tuple[int, ...] = (16, 56, 56)
+    mlp_ratio: float = 4.0
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @classmethod
+    def tiny(cls) -> "FluxConfig":
+        """Test-scale topology: same wiring, ~1000× fewer params."""
+        return cls(num_layers=2, num_single_layers=4, attention_head_dim=32,
+                   num_attention_heads=4, joint_attention_dim=64,
+                   pooled_projection_dim=32, axes_dims_rope=(8, 12, 12))
+
+
+# ---------------------------------------------------------------------------
+# init
+
+def _qk_scale(dim_head, dtype):
+    return {"scale": jnp.ones((dim_head,), dtype)}
+
+
+def _dual_block_init(key, cfg: FluxConfig, dtype):
+    dim, dh = cfg.dim, cfg.attention_head_dim
+    hidden = int(dim * cfg.mlp_ratio)
+    ks = jax.random.split(key, 12)
+    return {
+        "img_mod": {"proj": dense_init(ks[0], dim, 6 * dim, dtype=dtype)},
+        "txt_mod": {"proj": dense_init(ks[1], dim, 6 * dim, dtype=dtype)},
+        "attn": {
+            "to_q": dense_init(ks[2], dim, dim, dtype=dtype),
+            "to_k": dense_init(ks[3], dim, dim, dtype=dtype),
+            "to_v": dense_init(ks[4], dim, dim, dtype=dtype),
+            "to_out": dense_init(ks[5], dim, dim, dtype=dtype),
+            "add_q": dense_init(ks[6], dim, dim, dtype=dtype),
+            "add_k": dense_init(ks[7], dim, dim, dtype=dtype),
+            "add_v": dense_init(ks[8], dim, dim, dtype=dtype),
+            "add_out": dense_init(ks[9], dim, dim, dtype=dtype),
+            "norm_q": _qk_scale(dh, dtype),
+            "norm_k": _qk_scale(dh, dtype),
+            "norm_added_q": _qk_scale(dh, dtype),
+            "norm_added_k": _qk_scale(dh, dtype),
+        },
+        "img_mlp": mlp_init(ks[10], dim, hidden, dtype=dtype),
+        "txt_mlp": mlp_init(ks[11], dim, hidden, dtype=dtype),
+    }
+
+
+def _single_block_init(key, cfg: FluxConfig, dtype):
+    dim, dh = cfg.dim, cfg.attention_head_dim
+    hidden = int(dim * cfg.mlp_ratio)
+    ks = jax.random.split(key, 6)
+    return {
+        "mod": {"proj": dense_init(ks[0], dim, 3 * dim, dtype=dtype)},
+        "attn": {
+            "to_q": dense_init(ks[1], dim, dim, dtype=dtype),
+            "to_k": dense_init(ks[2], dim, dim, dtype=dtype),
+            "to_v": dense_init(ks[3], dim, dim, dtype=dtype),
+            "norm_q": _qk_scale(dh, dtype),
+            "norm_k": _qk_scale(dh, dtype),
+        },
+        "proj_mlp": dense_init(ks[4], dim, hidden, dtype=dtype),
+        "proj_out": dense_init(ks[5], dim + hidden, dim, dtype=dtype),
+    }
+
+
+def init(key, cfg: FluxConfig, dtype=jnp.bfloat16):
+    dim = cfg.dim
+    ks = jax.random.split(key, 8)
+    params = {
+        "x_embedder": dense_init(ks[0], cfg.in_channels, dim, dtype=dtype),
+        "context_embedder": dense_init(ks[1], cfg.joint_attention_dim, dim, dtype=dtype),
+        "time_in": mlp_init(ks[2], 256, dim, out_dim=dim, dtype=dtype),
+        "pooled_in": mlp_init(ks[3], cfg.pooled_projection_dim, dim, out_dim=dim, dtype=dtype),
+        "dual": jax.vmap(lambda k: _dual_block_init(k, cfg, dtype))(
+            jax.random.split(ks[4], cfg.num_layers)),
+        "single": jax.vmap(lambda k: _single_block_init(k, cfg, dtype))(
+            jax.random.split(ks[5], cfg.num_single_layers)),
+        "norm_out": {"proj": dense_init(ks[6], dim, 2 * dim, dtype=dtype)},
+        "proj_out": dense_init(ks[7], dim, cfg.patch_size ** 2 * cfg.out_channels, dtype=dtype),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = mlp_init(jax.random.split(ks[7])[0], 256, dim, out_dim=dim, dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+def _heads(x, n_heads):
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, -1)
+
+
+def _apply_rope_heads(x, cos, sin):
+    """x [B,S,H,D]; cos/sin [S,D] or [B,S,D]."""
+    if cos.ndim == 2:
+        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
+    else:
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def _dual_block(p, cfg, img, txt, temb, cos, sin, seg, attn_impl):
+    n_h = cfg.num_attention_heads
+    st = txt.shape[1]
+
+    i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = ada_ln_mods(p["img_mod"], temb, 6)
+    t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = ada_ln_mods(p["txt_mod"], temb, 6)
+
+    img_n = modulate(layer_norm(img), i_shift, i_scale)
+    txt_n = modulate(layer_norm(txt), t_shift, t_scale)
+
+    a = p["attn"]
+    q_i = rms_norm(_heads(dense(a["to_q"], img_n), n_h), a["norm_q"]["scale"])
+    k_i = rms_norm(_heads(dense(a["to_k"], img_n), n_h), a["norm_k"]["scale"])
+    v_i = _heads(dense(a["to_v"], img_n), n_h)
+    q_t = rms_norm(_heads(dense(a["add_q"], txt_n), n_h), a["norm_added_q"]["scale"])
+    k_t = rms_norm(_heads(dense(a["add_k"], txt_n), n_h), a["norm_added_k"]["scale"])
+    v_t = _heads(dense(a["add_v"], txt_n), n_h)
+
+    q = jnp.concatenate([q_t, q_i], axis=1)
+    k = jnp.concatenate([k_t, k_i], axis=1)
+    v = jnp.concatenate([v_t, v_i], axis=1)
+    q = _apply_rope_heads(q, cos, sin)
+    k = _apply_rope_heads(k, cos, sin)
+
+    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    o = o.reshape(o.shape[0], o.shape[1], -1)
+    txt_attn, img_attn = o[:, :st], o[:, st:]
+
+    img = img + i_gate[:, None, :].astype(img.dtype) * dense(a["to_out"], img_attn)
+    img_mlp_in = modulate(layer_norm(img), i_shift2, i_scale2)
+    img = img + i_gate2[:, None, :].astype(img.dtype) * dense(
+        p["img_mlp"]["out"], jax.nn.gelu(dense(p["img_mlp"]["in"], img_mlp_in), approximate=True))
+
+    txt = txt + t_gate[:, None, :].astype(txt.dtype) * dense(a["add_out"], txt_attn)
+    txt_mlp_in = modulate(layer_norm(txt), t_shift2, t_scale2)
+    txt = txt + t_gate2[:, None, :].astype(txt.dtype) * dense(
+        p["txt_mlp"]["out"], jax.nn.gelu(dense(p["txt_mlp"]["in"], txt_mlp_in), approximate=True))
+    return img, txt
+
+
+def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl):
+    n_h = cfg.num_attention_heads
+    shift, scale, gate = ada_ln_mods(p["mod"], temb, 3)
+    x_n = modulate(layer_norm(x), shift, scale)
+
+    a = p["attn"]
+    q = rms_norm(_heads(dense(a["to_q"], x_n), n_h), a["norm_q"]["scale"])
+    k = rms_norm(_heads(dense(a["to_k"], x_n), n_h), a["norm_k"]["scale"])
+    v = _heads(dense(a["to_v"], x_n), n_h)
+    q = _apply_rope_heads(q, cos, sin)
+    k = _apply_rope_heads(k, cos, sin)
+    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    o = o.reshape(o.shape[0], o.shape[1], -1)
+
+    mlp = jax.nn.gelu(dense(p["proj_mlp"], x_n), approximate=True)
+    out = dense(p["proj_out"], jnp.concatenate([o, mlp], axis=-1))
+    return x + gate[:, None, :].astype(x.dtype) * out
+
+
+def forward(
+    params,
+    cfg: FluxConfig,
+    hidden_states: jax.Array,          # [B, S_img, in_channels] packed latents
+    encoder_hidden_states: jax.Array,  # [B, S_txt, joint_attention_dim]
+    pooled_projections: jax.Array,     # [B, pooled_projection_dim]
+    timestep: jax.Array,               # [B] in [0, 1]
+    img_ids: jax.Array,                # [S_img, 3] or [B, S_img, 3]
+    txt_ids: jax.Array,                # [S_txt, 3] or [B, S_txt, 3]
+    guidance: Optional[jax.Array] = None,   # [B]
+    segment_ids: Optional[jax.Array] = None,  # [B, S_txt+S_img]; 0 = padding
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> jax.Array:
+    """Returns [B, S_img, out_channels] velocity prediction (full sequence —
+    callers slice [:, :S_target] to drop control-image positions)."""
+    img = dense(params["x_embedder"], hidden_states)
+    txt = dense(params["context_embedder"], encoder_hidden_states)
+
+    temb = mlp_silu(params["time_in"], sinusoidal_embedding(timestep))
+    if cfg.guidance_embeds:
+        if guidance is None:
+            raise ValueError("guidance_embeds model requires a guidance input")
+        temb = temb + mlp_silu(params["guidance_in"], sinusoidal_embedding(guidance))
+    temb = temb + mlp_silu(params["pooled_in"], pooled_projections.astype(jnp.float32))
+    temb = temb.astype(img.dtype)
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=-2)
+    cos, sin = rope_from_coords(ids, cfg.axes_dims_rope)
+
+    st = txt.shape[1]
+
+    dual_fn = lambda carry, p: (_dual_block(p, cfg, carry[0], carry[1], temb, cos, sin,
+                                            segment_ids, attn_impl), None)
+    single_fn = lambda x, p: (_single_block(p, cfg, x, temb, cos, sin, segment_ids,
+                                            attn_impl), None)
+    if remat:
+        dual_fn = jax.checkpoint(dual_fn, prevent_cse=False)
+        single_fn = jax.checkpoint(single_fn, prevent_cse=False)
+
+    (img, txt), _ = jax.lax.scan(dual_fn, (img, txt), params["dual"])
+    x = jnp.concatenate([txt, img], axis=1)
+    x, _ = jax.lax.scan(single_fn, x, params["single"])
+    img = x[:, st:]
+
+    scale, shift = ada_ln_mods(params["norm_out"], temb, 2)  # continuous: scale first
+    img = modulate(layer_norm(img), shift, scale)
+    return dense(params["proj_out"], img)

@@ -1,0 +1,63 @@
+"""Joint text-image attention: XLA reference impl + Pallas flash dispatch.
+
+The MMDiT joint attention concatenates [txt, img] into one bidirectional
+sequence (reference models/transformer_qwenimage.py:257-354 and
+transformer_flux.py's FluxAttnProcessor, both backed by CUDA SDPA/flash-attn).
+Here:
+
+  * `sdpa_reference` — pure-XLA softmax attention, used on CPU (tests) and as
+    the numerical oracle for the kernel;
+  * `flash_attention` (ops/flash_attention.py) — Pallas TPU kernel with online
+    softmax + segment-id masking (covers multi-res padding, which the
+    reference encodes as a [B,1,S,S] additive mask);
+  * `dot_product_attention` — dispatcher: Pallas on TPU, XLA elsewhere.
+
+Segment-id convention: seg==0 ⇒ padding token; tokens attend iff their
+segment ids are equal and nonzero.  A fully-packed batch uses all-ones.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def segment_mask(q_seg: jax.Array, kv_seg: jax.Array) -> jax.Array:
+    """[B, Sq], [B, Sk] → bool [B, 1, Sq, Sk]; True = may attend."""
+    m = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg[:, :, None] != 0)
+    return m[:, None, :, :]
+
+
+def sdpa_reference(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None):
+    """q,k,v: [B, S, H, D] → [B, S, H, D]. float32 softmax."""
+    *_, d = q.shape
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if segment_ids is not None:
+        kv_segment_ids = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        mask = segment_mask(segment_ids, kv_segment_ids)
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _dispatch(q, k, v, segment_ids, impl):
+    if impl == "pallas":
+        from qflux_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, segment_ids=segment_ids)
+    return sdpa_reference(q, k, v, segment_ids=segment_ids)
+
+
+def dot_product_attention(q, k, v, segment_ids=None, impl: str = "auto"):
+    """q,k,v: [B, S, H, D]; segment_ids: optional [B, S] int32."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _dispatch(q, k, v, segment_ids, impl)

@@ -1,0 +1,179 @@
+"""Functional parameter-pytree primitives: dense / MLP with in-place LoRA.
+
+Models in qflux_tpu are pure functions over nested-dict parameter pytrees
+(t5x-style) rather than module objects — the idiomatic shape for GSPMD
+sharding, jit, and LoRA-as-a-separate-tree.
+
+LoRA design: adapters live in their OWN pytree whose paths mirror the base
+tree's dense nodes; `merge_lora` grafts each {"a","b"} pair under the matching
+dense dict, and `dense()` applies `y += (x @ a) @ b * (alpha/r)`.  Gradients
+are taken w.r.t. the lora tree only, so the frozen base stays sharded and
+untouched (the reference achieves this with PEFT adapters + FSDP
+ignored_modules, reference trainer/base_trainer.py:333-364, 929-1002).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+
+def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+               dtype=jnp.float32) -> Params:
+    """Torch-nn.Linear-compatible init: U(-1/sqrt(in), 1/sqrt(in))."""
+    kk, bk = jax.random.split(key)
+    bound = 1.0 / (in_dim ** 0.5)
+    p = {"kernel": jax.random.uniform(kk, (in_dim, out_dim), dtype, -bound, bound)}
+    if use_bias:
+        p["bias"] = jax.random.uniform(bk, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def mlp_init(key, dim: int, hidden: int, out_dim: Optional[int] = None,
+             dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "in": dense_init(k1, dim, hidden, dtype=dtype),
+        "out": dense_init(k2, hidden, out_dim or dim, dtype=dtype),
+    }
+
+
+def lora_init(key, in_dim: int, out_dim: int, rank: int, dtype=jnp.float32,
+              init: str = "gaussian") -> Params:
+    """a: [in, r] (gaussian or kaiming), b: [r, out] (zeros) — standard LoRA."""
+    if init == "gaussian":
+        a = jax.random.normal(key, (in_dim, rank), dtype) * (1.0 / rank)
+    else:  # kaiming-uniform, PEFT default
+        bound = (3.0 / in_dim) ** 0.5
+        a = jax.random.uniform(key, (in_dim, rank), dtype, -bound, bound)
+    return {"a": a, "b": jnp.zeros((rank, out_dim), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# apply
+
+def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.Array:
+    """y = x@W + b [+ lora_scale * alpha/r * (x@a)@b]. Accumulate in f32 via
+    preferred_element_type so the MXU keeps full precision on bf16 inputs."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "lora" in p:
+        la, lb = p["lora"]["a"], p["lora"]["b"]
+        scaling = p["lora"].get("scaling", 1.0)
+        y = y + jnp.dot(
+            jnp.dot(x, la.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
+            lb.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * (scaling * lora_scale)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
+    """Linear → GELU(tanh) → Linear (diffusers FeedForward 'gelu-approximate')."""
+    return dense(p["out"], jax.nn.gelu(dense(p["in"], x), approximate=True))
+
+
+# ---------------------------------------------------------------------------
+# LoRA tree plumbing
+
+def merge_lora(base: Params, lora: Optional[Params]) -> Params:
+    """Graft a lora tree into (a shallow copy of) the base tree.
+
+    `lora` mirrors base's nesting; wherever it holds an {"a","b"} dict at a
+    path whose base node is a dense param dict, that node gains a "lora" key.
+    """
+    if lora is None:
+        return base
+
+    def rec(b, l):
+        if isinstance(l, dict) and "a" in l and "b" in l and not isinstance(b.get("a"), dict):
+            out = dict(b)
+            out["lora"] = l
+            return out
+        if isinstance(l, dict):
+            out = dict(b)
+            for k, v in l.items():
+                out[k] = rec(b[k], v)
+            return out
+        return b
+
+    return rec(base, lora)
+
+
+def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
+    """Yield (path_tuple, param_dict) for every dense node in a pytree."""
+    if isinstance(params, dict):
+        if "kernel" in params and not isinstance(params["kernel"], dict):
+            yield prefix, params
+            return
+        for k, v in params.items():
+            yield from iter_dense_paths(v, prefix + (str(k),))
+
+
+def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
+                    alpha: float, dtype=jnp.float32, init: str = "gaussian") -> Params:
+    """Create a lora tree for every dense node whose '/'-path matches any
+    regex in target_patterns (reference LoraConfig.target_modules semantics).
+
+    Stacked (scan-over-layers) dense nodes have kernels [L, in, out]; their
+    lora leaves get matching leading dims ([L, in, r] / [L, r, out]) so
+    lax.scan slices base and lora together.  `scaling` likewise gets shape [L]
+    (scan xs leaves must share the leading dim).
+    """
+    import re
+
+    pats = [re.compile(p) for p in target_patterns]
+    tree: Params = {}
+    paths = [(p, node) for p, node in iter_dense_paths(params)
+             if any(pat.search("/".join(p)) for pat in pats)]
+    keys = jax.random.split(key, max(len(paths), 1))
+    for (path, node), k in zip(paths, keys):
+        *lead, in_dim, out_dim = node["kernel"].shape
+        lead = tuple(lead)
+        if init == "gaussian":
+            a = jax.random.normal(k, lead + (in_dim, rank), dtype) * (1.0 / rank)
+        else:
+            bound = (3.0 / in_dim) ** 0.5
+            a = jax.random.uniform(k, lead + (in_dim, rank), dtype, -bound, bound)
+        leaf = {
+            "a": a,
+            "b": jnp.zeros(lead + (rank, out_dim), dtype),
+            "scaling": jnp.full(lead, alpha / rank, dtype),
+        }
+        sub = tree
+        for part in path[:-1]:
+            sub = sub.setdefault(part, {})
+        sub[path[-1]] = leaf
+    return tree
+
+
+def fuse_lora(base: Params, lora: Params, scale: float = 1.0) -> Params:
+    """Permanently fold lora into the base kernels (W += scale·scaling·a@b).
+    Used for DreamOmni2's fused edit-LoRA load (reference
+    models/flux_kontext_loader.py:184-198)."""
+
+    def rec(b, l):
+        if isinstance(l, dict) and "a" in l and "b" in l:
+            scaling = jnp.asarray(l.get("scaling", 1.0), jnp.float32)
+            delta = jnp.matmul(l["a"].astype(jnp.float32), l["b"].astype(jnp.float32))
+            scaling = scaling.reshape(scaling.shape + (1,) * (delta.ndim - scaling.ndim))
+            delta = delta * (scale * scaling)
+            out = dict(b)
+            out["kernel"] = (b["kernel"].astype(jnp.float32) + delta).astype(b["kernel"].dtype)
+            return out
+        if isinstance(l, dict):
+            out = dict(b)
+            for k, v in l.items():
+                out[k] = rec(b[k], v)
+            return out
+        return b
+
+    return rec(base, lora)
