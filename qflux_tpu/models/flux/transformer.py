@@ -61,6 +61,37 @@ class FluxConfig:
                    num_attention_heads=4, joint_attention_dim=64,
                    pooled_projection_dim=32, axes_dims_rope=(8, 12, 12))
 
+    @classmethod
+    def bench(cls) -> "FluxConfig":
+        """Single-chip benchmark topology: full hidden width (3072, 24 heads ×
+        128 — identical per-block kernels to the 12B model) with 4 dual + 8
+        single blocks so base params (~2.5B, 5 GB bf16) fit one v5e chip.
+        Full-model throughput extrapolates exactly by the layer-count FLOPs
+        ratio since every block is the same shape."""
+        return cls(num_layers=4, num_single_layers=8)
+
+    def matmul_flops(self, s_img: int, s_txt: int) -> float:
+        """Analytic forward matmul FLOPs for one sample (2·m·n·k per GEMM),
+        including attention score/value GEMMs. Used to extrapolate bench-model
+        measurements to the full 19+38-layer model."""
+        d = self.dim
+        s = s_img + s_txt
+        per_dual = (
+            2 * s * d * (8 * d)          # qkv+out for both streams (4 proj × 2 streams)
+            + 2 * s * d * (16 * d)       # two 4× MLPs (in+out each 4d²)
+            + 2 * s * d * (12 * d)       # img_mod + txt_mod (6d² each)
+            + 4 * s * s * d              # attention: QK^T + PV
+        )
+        per_single = (
+            2 * s * d * (3 * d)          # qkv
+            + 2 * s * d * (4 * d)        # proj_mlp
+            + 2 * s * d * (5 * d)        # proj_out (d+4d → d)
+            + 2 * s * d * (3 * d)        # modulation
+            + 4 * s * s * d
+        )
+        head = 2 * s_img * d * (self.in_channels + self.out_channels) + 2 * s_txt * d * self.joint_attention_dim
+        return self.num_layers * per_dual + self.num_single_layers * per_single + head
+
 
 # ---------------------------------------------------------------------------
 # init

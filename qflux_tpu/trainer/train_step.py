@@ -1,0 +1,173 @@
+"""The single jit-compiled flow-matching train step, shared by every model
+family.
+
+TPU-native re-design of the reference's trainer hot loop (reference
+trainer/base_trainer.py:508-561 `train_epoch`/`training_step` +
+per-model `_compute_loss`, e.g. flux_kontext_trainer.py:513-577): instead of
+five trainer subclasses each owning a torch loop, every model family supplies
+a `predict_velocity` function and this module provides ONE jitted step:
+
+    noise ~ N(0,1);  σ ~ sampler;  x_σ = (1-σ)x₀ + σ·ε
+    v̂ = DiT(x_σ, cond)          target = ε − x₀
+    loss = criterion(v̂, target, masks…);  grads w.r.t. LoRA tree only
+
+Sharding: batch arrays shard over (dp, fsdp); frozen base params shard per
+mmdit_rules; LoRA + optimizer state replicate.  XLA inserts the gradient
+psum over the data axes automatically.  Gradient accumulation runs as a
+lax.scan over a leading microbatch axis (the reference's
+accelerator.accumulate, base_trainer.py:518).  LoRA params and optimizer
+state are donated — zero-copy update in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from qflux_tpu.ops.layers import merge_lora
+from qflux_tpu.scheduler.flow_match import FlowMatchScheduler, sample_training_sigmas
+from qflux_tpu.scheduler.weighting import weights_for_sigmas
+
+
+@struct.dataclass
+class TrainState:
+    lora: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+
+    @classmethod
+    def create(cls, lora, optimizer):
+        return cls(lora=lora, opt_state=optimizer.init(lora), step=jnp.zeros((), jnp.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    timestep_sampling: str = "uniform"   # uniform | logit_normal | shift
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    sigma_shift: float = 3.0
+    weighting_scheme: str = "none"       # none | bell | half_bell
+    max_grad_norm: float = 1.0
+    grad_accum_steps: int = 1
+
+
+# predict_velocity(merged_params, batch, noisy_latents, sigma) -> [B, S_img, C]
+PredictFn = Callable[[Any, dict, jax.Array, jax.Array], jax.Array]
+# criterion(pred, target, weighting=…, edit_mask=…, attention_mask=…) -> scalar
+LossFn = Callable[..., jax.Array]
+
+
+def _loss_for_microbatch(base_params, lora, batch, rng, predict_velocity,
+                         criterion, cfg: TrainStepConfig):
+    latents = batch["image_latents"]
+    b = latents.shape[0]
+    k_noise, k_sigma = jax.random.split(rng)
+    noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32).astype(latents.dtype)
+    sigma = sample_training_sigmas(
+        k_sigma, b, scheme=cfg.timestep_sampling,
+        logit_mean=cfg.logit_mean, logit_std=cfg.logit_std, shift=cfg.sigma_shift,
+    ).astype(latents.dtype)
+
+    noisy = FlowMatchScheduler.add_noise(latents, noise, sigma)
+    target = FlowMatchScheduler.training_target(latents, noise)
+
+    merged = merge_lora(base_params, lora)
+    pred = predict_velocity(merged, batch, noisy, sigma)
+
+    weighting = None
+    if cfg.weighting_scheme != "none":
+        weighting = weights_for_sigmas(sigma, cfg.weighting_scheme)[:, None, None]
+    return criterion(
+        pred, target,
+        weighting=weighting,
+        edit_mask=batch.get("edit_mask"),
+        attention_mask=batch.get("attention_mask"),
+    )
+
+
+def make_train_step(
+    predict_velocity: PredictFn,
+    criterion: LossFn,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainStepConfig = TrainStepConfig(),
+    mesh=None,
+):
+    """Returns jitted `step(state, base_params, batch, rng) -> (state, metrics)`.
+
+    With cfg.grad_accum_steps > 1, every batch leaf must carry a leading
+    [accum, micro_batch, …] axis; gradients are averaged over the scan.
+
+    When `mesh` is given, the updated LoRA/optimizer state is constrained to
+    stay fully replicated — the design point of LoRA-FSDP (adapters are tiny;
+    replicating them avoids per-step all-gathers, mirroring the reference's
+    FSDP ignored_modules, reference base_trainer.py:343-348). Without it GSPMD
+    may decide to shard the adapter state.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _replicate(tree):
+        if mesh is None:
+            return tree
+        return jax.lax.with_sharding_constraint(
+            tree, NamedSharding(mesh, PartitionSpec()))
+
+    def grads_fn(state: TrainState, base_params, batch, rng):
+        def loss_fn(lora, b, r):
+            return _loss_for_microbatch(base_params, lora, b, r, predict_velocity,
+                                        criterion, cfg)
+
+        if cfg.grad_accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(state.lora, batch, rng)
+
+        def micro(carry, inp):
+            loss_acc, grad_acc = carry
+            b, r = inp
+            l, g = jax.value_and_grad(loss_fn)(state.lora, b, r)
+            return (loss_acc + l, jax.tree.map(jnp.add, grad_acc, g)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.lora)
+        rngs = jax.random.split(rng, cfg.grad_accum_steps)
+        (loss_sum, grad_sum), _ = jax.lax.scan(micro, (0.0, zeros), (batch, rngs))
+        n = cfg.grad_accum_steps
+        return loss_sum / n, jax.tree.map(lambda g: g / n, grad_sum)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, base_params, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = grads_fn(state, base_params, batch, rng)
+        gnorm = optax.global_norm(grads)
+        if cfg.max_grad_norm > 0:
+            # clip-by-global-norm (reference base_trainer.py:449-455)
+            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        new_state = TrainState(lora=_replicate(lora), opt_state=_replicate(opt_state),
+                               step=state.step + 1)
+        return new_state, {"loss": loss.astype(jnp.float32), "grad_norm": gnorm}
+
+    return step
+
+
+def make_lr_schedule(base_lr: float, scheduler_type: str = "constant",
+                     warmup_steps: int = 0, total_steps: int = 10000):
+    """diffusers get_scheduler equivalents (reference base_trainer.py:884-916)."""
+    if scheduler_type == "constant" and warmup_steps == 0:
+        return base_lr
+    if scheduler_type in ("constant", "constant_with_warmup"):
+        return optax.schedules.warmup_constant_schedule(0.0, base_lr, warmup_steps)
+    if scheduler_type == "cosine":
+        return optax.schedules.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    if scheduler_type == "linear":
+        return optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
+             optax.schedules.linear_schedule(base_lr, 0.0, max(total_steps - warmup_steps, 1))],
+            [warmup_steps])
+    raise ValueError(f"unknown lr scheduler {scheduler_type!r}")
