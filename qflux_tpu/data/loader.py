@@ -1,0 +1,119 @@
+"""Host-side batching + prefetch (the torch-DataLoader replacement).
+
+The reference feeds training through torch DataLoader workers (reference
+data/dataset.py:698-753).  Here batching is a plain Python iterator with:
+
+  * shape-bucketed batching: samples grouped by their preprocessed-shape
+    bucket key so every emitted batch has ONE static shape — the jitted step
+    compiles once per bucket instead of re-tracing (the TPU-native answer to
+    the reference's multi-resolution dynamic batches);
+  * background-thread prefetch (the dataset's cv2/cache IO overlaps device
+    compute);
+  * deterministic shuffling from a seed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from qflux_tpu.data.collate import collate
+from qflux_tpu.data.dataset import ImageDataset
+
+
+class DataLoader:
+    def __init__(self, dataset: ImageDataset, batch_size: int = 1, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, bucket_by_shape: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.bucket_by_shape = bucket_by_shape
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self) -> list[list[int]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        batches, buckets = [], {}
+        if not self.bucket_by_shape:
+            for i in range(0, n - (n % self.batch_size if self.drop_last else 0),
+                           self.batch_size):
+                batches.append(list(order[i:i + self.batch_size]))
+            return [b for b in batches if b]
+        # bucket lazily by a cheap key: sample source shapes are only known
+        # after preprocessing, so bucket by the per-sample shape key the
+        # dataset computes; fall back to sequential chunks if unavailable.
+        for idx in order:
+            key = self._bucket_key(int(idx))
+            buckets.setdefault(key, []).append(int(idx))
+            if len(buckets[key]) == self.batch_size:
+                batches.append(buckets.pop(key))
+        if not self.drop_last:
+            batches.extend(b for b in buckets.values() if b)
+        return batches
+
+    def _bucket_key(self, idx: int):
+        # processed shapes are deterministic given file sizes + processor
+        # config; cache them on the dataset sample record
+        rec = self.dataset.samples[idx]
+        if "_bucket" not in rec:
+            item = self.dataset[idx]
+            if "img_shapes" in item:
+                rec["_bucket"] = tuple(item["img_shapes"])
+            elif "image_latents" in item:
+                rec["_bucket"] = ("cached", np.asarray(item["image_latents"]).shape)
+            else:
+                rec["_bucket"] = ("unknown",)
+            rec["_first_item"] = item
+        return rec["_bucket"]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        self._epoch += 1
+
+        def produce(q: queue.Queue):
+            try:
+                for batch_idx in batches:
+                    items = []
+                    for i in batch_idx:
+                        rec = self.dataset.samples[i]
+                        item = rec.pop("_first_item", None) or self.dataset[i]
+                        items.append(item)
+                    q.put(collate(items))
+            except Exception as e:  # surface worker errors in the consumer
+                q.put(e)
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def loader(dataset_config: dict, batch_size: int = 1, shuffle: bool = True,
+           drop_last: bool = True, **kw) -> DataLoader:
+    """Config-driven constructor mirroring the reference's loader()
+    (reference data/dataset.py:698-753)."""
+    from qflux_tpu.utils.instantiate import instantiate_class
+
+    class_path = dataset_config.get("class_path", "qflux_tpu.data.dataset.ImageDataset")
+    ds = instantiate_class(class_path, **dataset_config.get("init_args", {}))
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last, **kw)

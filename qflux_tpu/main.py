@@ -1,0 +1,77 @@
+"""CLI: python -m qflux_tpu.main --config cfg.yaml [--cache|--fit-no-cache]
+[--resume DIR]
+
+Mirrors the reference entrypoint (reference main.py:42-99, utils/options.py:
+6-36) minus the `accelerate launch` process ceremony: one process per host,
+jax.distributed handles multi-host, and the mesh handles multi-chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("qflux_tpu")
+    p.add_argument("--config", required=True, help="YAML config path")
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--cache", action="store_true", help="run the embedding-cache pass")
+    p.add_argument("--fit-no-cache", action="store_true",
+                   help="train without the embedding cache")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(process)d %(filename)s:%(lineno)d %(levelname)s %(message)s")
+    args = parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+
+    from qflux_tpu.config import RunMode, load_config_from_yaml
+    from qflux_tpu.data.loader import DataLoader
+    from qflux_tpu.data.preprocess import ImageProcessor
+    from qflux_tpu.trainer.base import Trainer
+    from qflux_tpu.utils.instantiate import instantiate_class
+
+    config = load_config_from_yaml(args.config)
+    if args.resume:
+        config.resume = args.resume
+    if args.cache:
+        config.mode = RunMode.cache
+        config.cache.use_cache = True
+    if args.fit_no_cache:
+        config.mode = RunMode.fit
+        config.cache.use_cache = False
+        config.data.init_args.pop("use_cache", None)
+
+    processor = ImageProcessor(config.data.processor)
+    init_args = dict(config.data.init_args)
+    init_args.setdefault("processor", processor)
+    init_args.setdefault("caption_dropout_rate", config.data.caption_dropout_rate)
+    init_args.setdefault("use_edit_mask", config.data.use_edit_mask)
+    dataset = instantiate_class(config.data.class_path, **init_args)
+
+    trainer = Trainer(config)
+    if config.mode == RunMode.cache:
+        # cache pass: bs=1, no shuffle, keep every sample (reference main.py:71-78)
+        dl = DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False,
+                        bucket_by_shape=False)
+        trainer.cache(dl)
+    else:
+        dl = DataLoader(dataset, batch_size=config.data.batch_size,
+                        shuffle=config.data.shuffle, drop_last=config.data.drop_last,
+                        seed=config.train.seed)
+        trainer.fit(dl)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -56,9 +56,11 @@ class FluxConfig:
 
     @classmethod
     def tiny(cls) -> "FluxConfig":
-        """Test-scale topology: same wiring, ~1000× fewer params."""
+        """Test-scale topology: same wiring, ~1000× fewer params.  16 in/out
+        channels = the tiny VAE's 4 latent channels × 2×2 packing."""
         return cls(num_layers=2, num_single_layers=4, attention_head_dim=32,
                    num_attention_heads=4, joint_attention_dim=64,
+                   in_channels=16, out_channels=16,
                    pooled_projection_dim=32, axes_dims_rope=(8, 12, 12))
 
     @classmethod

@@ -1,0 +1,240 @@
+"""Torch/safetensors checkpoint → qflux_tpu pytree converters.
+
+The reference loads weights through diffusers/transformers `from_pretrained`
+(reference models/flux_kontext_loader.py, load_model.py).  Here checkpoints
+are read as flat {name: ndarray} dicts (safetensors or torch state_dict) and
+mechanically renamed/transposed into our functional param trees:
+
+  * torch nn.Linear [out, in] → kernel [in, out]  (transpose)
+  * torch conv OIHW → HWIO
+  * per-layer torch modules  → stacked leaves [L, …] for lax.scan
+
+Converters exist for: FLUX MMDiT, FLUX VAE (AutoencoderKL), CLIP text,
+T5 encoder.  Qwen-family converters live in models/qwen/.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import numpy as np
+
+
+def load_safetensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_torch_state_dict(sd) -> dict[str, np.ndarray]:
+    """torch state_dict → numpy dict (host-side, no grad)."""
+    return {k: np.asarray(v.detach().to("cpu").float().numpy()) for k, v in sd.items()}
+
+
+def _lin(sd: Mapping[str, np.ndarray], name: str, dtype=np.float32) -> dict:
+    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T).astype(dtype)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(dtype)
+    return p
+
+
+def _lin_nobias(sd, name, dtype=np.float32) -> dict:
+    return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T).astype(dtype)}
+
+
+def _conv(sd, name, dtype=np.float32) -> dict:
+    # OIHW → HWIO
+    return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0)).astype(dtype),
+            "bias": sd[f"{name}.bias"].astype(dtype)}
+
+
+def _gn(sd, name, dtype=np.float32) -> dict:
+    return {"scale": sd[f"{name}.weight"].astype(dtype), "bias": sd[f"{name}.bias"].astype(dtype)}
+
+
+def _scale(sd, name, dtype=np.float32) -> dict:
+    return {"scale": sd[f"{name}.weight"].astype(dtype)}
+
+
+def _stack(trees: list) -> dict:
+    """List of identical param dicts → one dict with stacked leaves."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+# ===========================================================================
+# FLUX MMDiT (diffusers FluxTransformer2DModel names,
+# reference models/transformer_flux.py:557-680)
+
+def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
+                             num_single_layers=38, dtype=np.float32) -> dict:
+    p = {
+        "x_embedder": _lin(sd, "x_embedder", dtype),
+        "context_embedder": _lin(sd, "context_embedder", dtype),
+        "time_in": {"in": _lin(sd, "time_text_embed.timestep_embedder.linear_1", dtype),
+                    "out": _lin(sd, "time_text_embed.timestep_embedder.linear_2", dtype)},
+        "pooled_in": {"in": _lin(sd, "time_text_embed.text_embedder.linear_1", dtype),
+                      "out": _lin(sd, "time_text_embed.text_embedder.linear_2", dtype)},
+        "norm_out": {"proj": _lin(sd, "norm_out.linear", dtype)},
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        p["guidance_in"] = {
+            "in": _lin(sd, "time_text_embed.guidance_embedder.linear_1", dtype),
+            "out": _lin(sd, "time_text_embed.guidance_embedder.linear_2", dtype)}
+
+    duals = []
+    for i in range(num_layers):
+        b = f"transformer_blocks.{i}"
+        duals.append({
+            "img_mod": {"proj": _lin(sd, f"{b}.norm1.linear", dtype)},
+            "txt_mod": {"proj": _lin(sd, f"{b}.norm1_context.linear", dtype)},
+            "attn": {
+                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
+                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
+                "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
+                "add_q": _lin(sd, f"{b}.attn.add_q_proj", dtype),
+                "add_k": _lin(sd, f"{b}.attn.add_k_proj", dtype),
+                "add_v": _lin(sd, f"{b}.attn.add_v_proj", dtype),
+                "add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
+                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
+                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
+                "norm_added_q": _scale(sd, f"{b}.attn.norm_added_q", dtype),
+                "norm_added_k": _scale(sd, f"{b}.attn.norm_added_k", dtype),
+            },
+            "img_mlp": {"in": _lin(sd, f"{b}.ff.net.0.proj", dtype),
+                        "out": _lin(sd, f"{b}.ff.net.2", dtype)},
+            "txt_mlp": {"in": _lin(sd, f"{b}.ff_context.net.0.proj", dtype),
+                        "out": _lin(sd, f"{b}.ff_context.net.2", dtype)},
+        })
+    singles = []
+    for i in range(num_single_layers):
+        b = f"single_transformer_blocks.{i}"
+        singles.append({
+            "mod": {"proj": _lin(sd, f"{b}.norm.linear", dtype)},
+            "attn": {
+                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
+                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
+                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
+                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
+            },
+            "proj_mlp": _lin(sd, f"{b}.proj_mlp", dtype),
+            "proj_out": _lin(sd, f"{b}.proj_out", dtype),
+        })
+    p["dual"] = _stack(duals)
+    p["single"] = _stack(singles)
+    return p
+
+
+# ===========================================================================
+# FLUX VAE (diffusers AutoencoderKL names)
+
+def _resnet_sd(sd, base, dtype):
+    p = {"norm1": _gn(sd, f"{base}.norm1", dtype), "conv1": _conv(sd, f"{base}.conv1", dtype),
+         "norm2": _gn(sd, f"{base}.norm2", dtype), "conv2": _conv(sd, f"{base}.conv2", dtype)}
+    if f"{base}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _conv(sd, f"{base}.conv_shortcut", dtype)
+    return p
+
+
+def _vae_attn_sd(sd, base, dtype):
+    return {
+        "group_norm": _gn(sd, f"{base}.group_norm", dtype),
+        "to_q": _lin(sd, f"{base}.to_q", dtype), "to_k": _lin(sd, f"{base}.to_k", dtype),
+        "to_v": _lin(sd, f"{base}.to_v", dtype), "to_out": _lin(sd, f"{base}.to_out.0", dtype),
+    }
+
+
+def _mid_sd(sd, base, dtype):
+    return {"resnets_0": _resnet_sd(sd, f"{base}.resnets.0", dtype),
+            "attentions_0": _vae_attn_sd(sd, f"{base}.attentions.0", dtype),
+            "resnets_1": _resnet_sd(sd, f"{base}.resnets.1", dtype)}
+
+
+def convert_flux_vae(sd: Mapping[str, np.ndarray], num_blocks=4,
+                     layers_per_block=2, dtype=np.float32) -> dict:
+    enc = {"conv_in": _conv(sd, "encoder.conv_in", dtype),
+           "mid": _mid_sd(sd, "encoder.mid_block", dtype),
+           "norm_out": _gn(sd, "encoder.conv_norm_out", dtype),
+           "conv_out": _conv(sd, "encoder.conv_out", dtype)}
+    for i in range(num_blocks):
+        blk = {}
+        for j in range(layers_per_block):
+            blk[f"resnets_{j}"] = _resnet_sd(sd, f"encoder.down_blocks.{i}.resnets.{j}", dtype)
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", dtype)
+        enc[f"down_{i}"] = blk
+    dec = {"conv_in": _conv(sd, "decoder.conv_in", dtype),
+           "mid": _mid_sd(sd, "decoder.mid_block", dtype),
+           "norm_out": _gn(sd, "decoder.conv_norm_out", dtype),
+           "conv_out": _conv(sd, "decoder.conv_out", dtype)}
+    for i in range(num_blocks):
+        blk = {}
+        for j in range(layers_per_block + 1):
+            blk[f"resnets_{j}"] = _resnet_sd(sd, f"decoder.up_blocks.{i}.resnets.{j}", dtype)
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            blk["upsample"] = _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype)
+        dec[f"up_{i}"] = blk
+    return {"encoder": enc, "decoder": dec}
+
+
+# ===========================================================================
+# CLIP text (transformers CLIPTextModel names)
+
+def convert_clip_text(sd: Mapping[str, np.ndarray], num_layers=12, dtype=np.float32) -> dict:
+    pre = "text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    p = {
+        "token_embedding": sd[f"{pre}embeddings.token_embedding.weight"].astype(dtype),
+        "position_embedding": sd[f"{pre}embeddings.position_embedding.weight"].astype(dtype),
+        "final_layer_norm": _gn(sd, f"{pre}final_layer_norm", dtype),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        b = f"{pre}encoder.layers.{i}"
+        p["layers"].append({
+            "layer_norm1": _gn(sd, f"{b}.layer_norm1", dtype),
+            "layer_norm2": _gn(sd, f"{b}.layer_norm2", dtype),
+            "attn": {"q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                     "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                     "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                     "out": _lin(sd, f"{b}.self_attn.out_proj", dtype)},
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.fc1", dtype),
+                    "fc2": _lin(sd, f"{b}.mlp.fc2", dtype)},
+        })
+    return p
+
+
+# ===========================================================================
+# T5 encoder (transformers T5EncoderModel names)
+
+def convert_t5_encoder(sd: Mapping[str, np.ndarray], num_layers=24, dtype=np.float32) -> dict:
+    p = {
+        "shared": sd["shared.weight"].astype(dtype),
+        "relative_attention_bias": sd[
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"].astype(dtype),
+        "final_layer_norm": _scale(sd, "encoder.final_layer_norm", dtype),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        b = f"encoder.block.{i}"
+        p["layers"].append({
+            "ln0": _scale(sd, f"{b}.layer.0.layer_norm", dtype),
+            "attn": {"q": _lin_nobias(sd, f"{b}.layer.0.SelfAttention.q", dtype),
+                     "k": _lin_nobias(sd, f"{b}.layer.0.SelfAttention.k", dtype),
+                     "v": _lin_nobias(sd, f"{b}.layer.0.SelfAttention.v", dtype),
+                     "o": _lin_nobias(sd, f"{b}.layer.0.SelfAttention.o", dtype)},
+            "ln1": _scale(sd, f"{b}.layer.1.layer_norm", dtype),
+            "ff": {"wi_0": _lin_nobias(sd, f"{b}.layer.1.DenseReluDense.wi_0", dtype),
+                   "wi_1": _lin_nobias(sd, f"{b}.layer.1.DenseReluDense.wi_1", dtype),
+                   "wo": _lin_nobias(sd, f"{b}.layer.1.DenseReluDense.wo", dtype)},
+        })
+    return p

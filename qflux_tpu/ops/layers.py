@@ -61,8 +61,15 @@ def lora_init(key, in_dim: int, out_dim: int, rank: int, dtype=jnp.float32,
 
 def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.Array:
     """y = x@W + b [+ lora_scale * alpha/r * (x@a)@b]. Accumulate in f32 via
-    preferred_element_type so the MXU keeps full precision on bf16 inputs."""
-    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    preferred_element_type so the MXU keeps full precision on bf16 inputs.
+
+    Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
+    dequantized inline — XLA fuses the scale multiply into the matmul."""
+    if "kernel_q" in p:
+        kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
+    else:
+        kernel = p["kernel"].astype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "lora" in p:
         la, lb = p["lora"]["a"], p["lora"]["b"]
         scaling = p["lora"].get("scaling", 1.0)
@@ -109,9 +116,13 @@ def merge_lora(base: Params, lora: Optional[Params]) -> Params:
 
 
 def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
-    """Yield (path_tuple, param_dict) for every dense node in a pytree."""
+    """Yield (path_tuple, param_dict) for every dense node in a pytree
+    (full-precision `kernel` or quantized `kernel_q` form)."""
     if isinstance(params, dict):
         if "kernel" in params and not isinstance(params["kernel"], dict):
+            yield prefix, params
+            return
+        if "kernel_q" in params:
             yield prefix, params
             return
         for k, v in params.items():
@@ -136,7 +147,8 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
              if any(pat.search("/".join(p)) for pat in pats)]
     keys = jax.random.split(key, max(len(paths), 1))
     for (path, node), k in zip(paths, keys):
-        *lead, in_dim, out_dim = node["kernel"].shape
+        kernel = node["kernel"] if "kernel" in node else node["kernel_q"]
+        *lead, in_dim, out_dim = kernel.shape
         lead = tuple(lead)
         if init == "gaussian":
             a = jax.random.normal(k, lead + (in_dim, rank), dtype) * (1.0 / rank)

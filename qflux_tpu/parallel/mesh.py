@@ -51,8 +51,11 @@ class MeshConfig:
             if n_devices % fixed != 0:
                 raise ValueError(f"{n_devices} devices not divisible by fixed axes {sizes}")
             sizes[wild[0]] = n_devices // fixed
-        if math.prod(sizes.values()) != n_devices:
-            raise ValueError(f"mesh {sizes} does not cover {n_devices} devices")
+        if math.prod(sizes.values()) > n_devices:
+            raise ValueError(f"mesh {sizes} needs more than the {n_devices} devices available")
+        # a fully-explicit mesh smaller than the device count is allowed — it
+        # runs on the first prod(sizes) devices (single-chip runs on multi-chip
+        # hosts, tests on the virtual mesh)
         return sizes
 
 
@@ -73,6 +76,11 @@ def build_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     sizes = config.resolve(len(devices))
     shape = tuple(sizes[a] for a in AXIS_ORDER)
+    n_used = math.prod(shape)
+    if n_used < len(devices):
+        devices = list(devices)[:n_used]
+        auto = (AxisType.Auto,) * len(AXIS_ORDER)
+        return Mesh(np.asarray(devices).reshape(shape), AXIS_ORDER, axis_types=auto)
     # Auto axis types: classic GSPMD propagation (jax 0.9 defaults to the new
     # Explicit sharding-in-types mode, which rejects ambiguous contractions
     # that the partitioner resolves fine on its own).

@@ -1,0 +1,447 @@
+"""Trainer orchestration: fit / cache / predict around the jitted step.
+
+TPU re-design of the reference BaseTrainer (reference
+trainer/base_trainer.py:60-1095).  What changed structurally:
+
+  * the torch loop + Accelerate plumbing collapses into ONE jitted train step
+    (trainer/train_step.py) driven by a plain Python loop;
+  * device juggling (`.to(cpu)`, `del`, `empty_cache`) becomes sharding:
+    frozen base params live sharded over the mesh from load time;
+  * checkpoints: diffusers-format LoRA safetensors (interop with the
+    reference's checkpoints, reference base_trainer.py:858-875) + optimizer
+    state + state.json{step, epoch, git};
+  * versioned run dirs output/<project>/vN with invalid-run GC (reference
+    base_trainer.py:117-181);
+  * SIGINT/SIGTERM → finish step, save `checkpoint-last-…`, exit (reference
+    base_trainer.py:102-110, 512-516).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import shutil
+import signal
+import subprocess
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qflux_tpu.config import Config
+from qflux_tpu.losses import AttentionMaskMseLoss, MseLoss
+from qflux_tpu.ops.layers import build_lora_tree, merge_lora
+from qflux_tpu.parallel import MeshConfig, build_mesh, shard_pytree
+from qflux_tpu.parallel.partitioning import mmdit_rules
+from qflux_tpu.scheduler.flow_match import FlowMatchScheduler
+from qflux_tpu.trainer.sampling import SamplingConfig, make_sampler
+from qflux_tpu.trainer.train_step import (
+    TrainState,
+    TrainStepConfig,
+    make_lr_schedule,
+    make_train_step,
+)
+from qflux_tpu.utils.fps import FpsLogger
+from qflux_tpu.utils.instantiate import instantiate_class, resolve_symbol
+from qflux_tpu.utils.logger import LoggerManager
+from qflux_tpu.utils.lora_io import (
+    LORA_FILE_BASE_NAME,
+    load_lora_safetensors,
+    save_lora_safetensors,
+)
+from qflux_tpu.utils.seed import seed_everything
+
+ADAPTERS = {
+    "FluxKontextLoraTrainer": "qflux_tpu.trainer.flux_kontext.FluxKontextAdapter",
+    "QwenImageEditTrainer": "qflux_tpu.trainer.qwen_edit.QwenImageEditAdapter",
+    "QwenImageEditPlusTrainer": "qflux_tpu.trainer.qwen_edit_plus.QwenImageEditPlusAdapter",
+    "DreamOmni2Trainer": "qflux_tpu.trainer.dreamomni2.DreamOmni2Adapter",
+    "Flux2KleinLoraTrainer": "qflux_tpu.trainer.flux2_klein.Flux2KleinAdapter",
+}
+
+
+def get_git_info() -> dict:
+    """Commit/branch provenance saved into state.json (reference
+    utils/tools.py:100-131)."""
+    info = {}
+    for key, cmd in [("commit", ["git", "rev-parse", "HEAD"]),
+                     ("branch", ["git", "rev-parse", "--abbrev-ref", "HEAD"])]:
+        try:
+            info[key] = subprocess.run(cmd, capture_output=True, text=True,
+                                       timeout=5).stdout.strip()
+        except Exception:
+            info[key] = None
+    return info
+
+
+class Trainer:
+    def __init__(self, config: Config):
+        self.config = config
+        self.adapter_cls = resolve_symbol(ADAPTERS[config.trainer.value])
+        self.mesh = build_mesh(MeshConfig(
+            dp=config.mesh.dp, fsdp=config.mesh.fsdp, tp=config.mesh.tp))
+        self.scheduler = FlowMatchScheduler()
+        self.fps = FpsLogger()
+        self.global_step = 0
+        self.epoch = 0
+        self._interrupted = False
+        self.output_dir: Optional[Path] = None
+        self.adapter = None
+        self.bundle = None
+        self.state: Optional[TrainState] = None
+        self.logger: Optional[LoggerManager] = None
+
+    # ------------------------------------------------------------------
+    # setup
+
+    def setup_versioned_dir(self) -> Path:
+        """output/<project>/vN, garbage-collecting invalid old runs
+        (reference base_trainer.py:117-181)."""
+        root = Path(self.config.logging.output_dir) / self.config.logging.project
+        root.mkdir(parents=True, exist_ok=True)
+        versions = []
+        for d in root.iterdir():
+            m = re.fullmatch(r"v(\d+)", d.name)
+            if not (m and d.is_dir()):
+                continue
+            state_file = d / "state.json"
+            has_ckpt = any(d.rglob("*.safetensors"))
+            step = 0
+            if state_file.exists():
+                try:
+                    step = json.loads(state_file.read_text()).get("global_step", 0)
+                except Exception:
+                    step = 0
+            if step < 5 and not has_ckpt:
+                shutil.rmtree(d, ignore_errors=True)  # GC invalid run
+            else:
+                versions.append(int(m.group(1)))
+        v = max(versions, default=-1) + 1
+        out = root / f"v{v}"
+        out.mkdir(parents=True, exist_ok=True)
+        return out
+
+    def _install_signal_handlers(self):
+        def handler(signum, frame):
+            logging.warning("signal %s received; saving last checkpoint after this step",
+                            signum)
+            self._interrupted = True
+
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not on main thread (tests)
+
+    def load_model(self):
+        dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
+        self.adapter, self.bundle = self.adapter_cls.load(self.config, dtype=dtype)
+        if self.config.model.quantize and self.config.model.quantize.enabled:
+            from qflux_tpu.ops.quant import quantize_tree
+
+            self.bundle.dit_params = quantize_tree(
+                self.bundle.dit_params, self.config.model.quantize)
+        # shard frozen base over the mesh (the FSDP analogue)
+        self.bundle.dit_params = shard_pytree(self.bundle.dit_params, mmdit_rules(),
+                                              self.mesh)
+
+    def build_lora(self):
+        lcfg = self.config.model.lora
+        if lcfg.pretrained_weight:
+            tree = load_lora_safetensors(lcfg.pretrained_weight,
+                                         self.adapter.lora_tree_path_fn)
+            lora = jax.tree.map(jnp.asarray, tree)
+        else:
+            targets = lcfg.target_modules or list(self.adapter.default_lora_targets)
+            targets = [t if "/" in t else rf"attn/{t}" for t in targets]
+            init = "gaussian" if lcfg.init_lora_weights in (True, "gaussian") else "kaiming"
+            lora = build_lora_tree(jax.random.PRNGKey(self.config.train.seed + 1),
+                                   self.bundle.dit_params, targets,
+                                   rank=lcfg.r, alpha=lcfg.lora_alpha, init=init)
+        return jax.device_put(lora, NamedSharding(self.mesh, P()))
+
+    def build_optimizer(self) -> optax.GradientTransformation:
+        ocfg = self.config.optimizer
+        lr = make_lr_schedule(ocfg.learning_rate, self.config.lr_scheduler.scheduler_type,
+                              self.config.lr_scheduler.warmup_steps,
+                              self.config.train.max_train_steps)
+        opt_fn = resolve_symbol(ocfg.class_path)
+        return opt_fn(learning_rate=lr, **ocfg.init_args)
+
+    def build_criterion(self):
+        cls = resolve_symbol(self.config.loss.class_path)
+        return cls(**self.config.loss.init_args)
+
+    # ------------------------------------------------------------------
+    # fit
+
+    def fit(self, dataloader):
+        cfg = self.config
+        seed_everything(cfg.train.seed)
+        self._install_signal_handlers()
+        self.output_dir = self.setup_versioned_dir()
+        self.logger = LoggerManager(
+            report_to=cfg.logging.report_to, log_dir=self.output_dir / "logs",
+            project=cfg.logging.tracker_project_name or cfg.logging.project,
+            config=json.loads(cfg.model_dump_json()))
+        (self.output_dir / "train_config.yaml").write_text(
+            __import__("yaml").safe_dump(json.loads(cfg.model_dump_json())))
+
+        if self.adapter is None:
+            self.load_model()
+        if cfg.resume:
+            cfg.model.lora.pretrained_weight = str(cfg.resume)
+        lora = self.build_lora()
+        optimizer = self.build_optimizer()
+        criterion = self.build_criterion()
+        step_cfg = TrainStepConfig(
+            timestep_sampling=cfg.train.timestep_sampling,
+            logit_mean=cfg.train.logit_mean, logit_std=cfg.train.logit_std,
+            max_grad_norm=cfg.train.max_grad_norm,
+            grad_accum_steps=cfg.train.gradient_accumulation_steps,
+        )
+        step_fn = make_train_step(self.adapter.predict_velocity, criterion, optimizer,
+                                  step_cfg, mesh=self.mesh)
+        self.state = TrainState.create(lora, optimizer)
+        if cfg.resume:
+            self._load_train_state(Path(cfg.resume), optimizer)
+
+        from qflux_tpu.utils.model_summary import model_summary_rows
+
+        rows = model_summary_rows(self.bundle.dit_params, self.state.lora)
+        self.logger.log_table("model_summary", rows, 0)
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        ema_loss = None
+        max_steps = cfg.train.max_train_steps
+        self.fps.start()
+        t_start = time.monotonic()
+        done = False
+        batch_sharding = NamedSharding(self.mesh, P(("dp", "fsdp")))
+
+        for epoch in range(self.epoch, cfg.train.num_epochs):
+            self.epoch = epoch
+            for batch in dataloader:
+                emb = self._embeddings_for_batch(batch)
+                emb = self._device_batch(emb, batch_sharding)
+                self.state, metrics = step_fn(self.state, self.bundle.dit_params,
+                                              emb, rng)
+                self.global_step += 1
+                loss = float(metrics["loss"])
+                ema_loss = loss if ema_loss is None else 0.95 * ema_loss + 0.05 * loss
+                fps = self.fps.step(n_items=self._batch_items(batch))
+                self.logger.log_metrics(
+                    {"loss": loss, "smooth_loss": ema_loss, "epoch": epoch,
+                     **({"fps": fps} if fps else {})}, self.global_step)
+
+                if self.global_step % cfg.train.checkpointing_steps == 0:
+                    self.fps.pause()
+                    self.save_checkpoint()
+                    self.fps.resume()
+                if (cfg.validation.enabled and cfg.validation.steps > 0
+                        and self.global_step % cfg.validation.steps == 0):
+                    self.fps.pause()
+                    self.run_validation()
+                    self.fps.resume()
+                if self._interrupted or self.global_step >= max_steps:
+                    done = True
+                    break
+            if done:
+                break
+        self.save_checkpoint(last=True)
+        logging.info("fit done: %d steps in %.1fs", self.global_step,
+                     time.monotonic() - t_start)
+        self.logger.close()
+        return self.state
+
+    def _batch_items(self, batch) -> int:
+        for v in batch.values():
+            if hasattr(v, "shape") and np.ndim(v) >= 1:
+                return int(np.shape(v)[0])
+        return 1
+
+    def _embeddings_for_batch(self, batch: dict) -> dict:
+        """Cached batches pass through; pixel batches get encoded on the fly
+        (the reference's cached-vs-compute dispatch, base_trainer.py:457-471)."""
+        if "image_latents" in batch:
+            emb = {k: v for k, v in batch.items()
+                   if isinstance(v, np.ndarray) or hasattr(v, "device")}
+            for k in ("img_ids", "txt_ids"):
+                if k in emb and np.ndim(emb[k]) == 3:
+                    emb[k] = np.asarray(emb[k])[0]  # shared ids collated per-sample
+            emb.pop("cached", None)
+            return emb
+        return self.adapter.prepare_embeddings(self.bundle, batch,
+                                               self.config.predict.max_sequence_length)
+
+    def _device_batch(self, emb: dict, sharding) -> dict:
+        out = {}
+        dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
+        for k, v in emb.items():
+            arr = jnp.asarray(v)
+            if arr.dtype in (jnp.float32, jnp.float16, jnp.float64):
+                arr = arr.astype(dtype) if k != "edit_mask" else arr.astype(jnp.float32)
+            if arr.ndim >= 1 and k not in ("img_ids", "txt_ids") and arr.shape[0] > 1:
+                arr = jax.device_put(arr, sharding)
+            out[k] = arr
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpointing / resume
+
+    def save_checkpoint(self, last: bool = False):
+        name = f"checkpoint-last-{self.global_step}" if last else f"checkpoint-{self.global_step}"
+        ckpt_dir = self.output_dir / name
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        lora_host = jax.tree.map(np.asarray, self.state.lora)
+        save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn)
+        np.savez(ckpt_dir / "optimizer_state.npz", **{
+            "/".join(map(str, path)): np.asarray(leaf)
+            for path, leaf in _flatten_with_paths(self.state.opt_state)})
+        (ckpt_dir / "state.json").write_text(json.dumps({
+            "global_step": self.global_step, "epoch": self.epoch, "is_last": last,
+            "git": get_git_info(),
+        }))
+        logging.info("saved checkpoint %s", ckpt_dir)
+        return ckpt_dir
+
+    def _load_train_state(self, ckpt: Path, optimizer):
+        state_file = ckpt / "state.json"
+        if state_file.exists():
+            st = json.loads(state_file.read_text())
+            self.global_step = st.get("global_step", 0)
+            self.epoch = st.get("epoch", 0)
+        opt_file = ckpt / "optimizer_state.npz"
+        if opt_file.exists():
+            flat = dict(np.load(opt_file))
+            template = self.state.opt_state
+            leaves = _flatten_with_paths(template)
+            new = []
+            for path, leaf in leaves:
+                key = "/".join(map(str, path))
+                new.append(jnp.asarray(flat[key]) if key in flat else leaf)
+            self.state = self.state.replace(
+                opt_state=jax.tree.unflatten(jax.tree.structure(template), new),
+                step=jnp.asarray(self.global_step, jnp.int32))
+
+    # ------------------------------------------------------------------
+    # cache
+
+    def cache(self, dataloader):
+        """Offline embedding precompute (reference base_trainer.py:418-447):
+        encoders run jitted; fp16 arrays land in the content-addressed cache."""
+        from qflux_tpu.data.cache import EmbeddingCacheManager
+
+        if self.adapter is None:
+            self.load_model()
+        cache_dir = self.config.cache.cache_dir
+        if not cache_dir:
+            raise ValueError("cache mode requires cache.cache_dir")
+        cm = EmbeddingCacheManager(cache_dir)
+        n = 0
+        for batch in dataloader:
+            hashes = batch["file_hashes"][0] if isinstance(batch["file_hashes"], list) \
+                else batch["file_hashes"]
+            if cm.exists(hashes["main_hash"]):
+                continue
+            arrays, hash_keys = self.adapter.cache_embeddings(
+                self.bundle, batch, self.config.predict.max_sequence_length)
+            cm.save(hashes["main_hash"], arrays,
+                    {k: hashes[v] if v in hashes else v for k, v in hash_keys.items()})
+            n += 1
+        logging.info("cached %d new samples into %s", n, cache_dir)
+        return n
+
+    # ------------------------------------------------------------------
+    # predict / validation sampling
+
+    def predict_from_embeddings(self, emb: dict, height: int, width: int,
+                                num_inference_steps: Optional[int] = None,
+                                lora: Optional[Any] = None,
+                                seed: Optional[int] = None) -> np.ndarray:
+        pcfg = self.config.predict
+        steps = num_inference_steps or pcfg.num_inference_steps
+        gh, gw = self.adapter.latent_grid(height, width)
+        s_img = gh * gw
+        plan = self.scheduler.sampling_plan(steps, image_seq_len=s_img)
+        params = self.bundle.dit_params
+        use_lora = lora if lora is not None else (self.state.lora if self.state else None)
+        if use_lora is not None:
+            params = merge_lora(params, use_lora)
+        sampler = make_sampler(self.adapter.predict_velocity, SamplingConfig(
+            num_inference_steps=steps, true_cfg_scale=pcfg.true_cfg_scale))
+        b = int(np.shape(emb["prompt_embeds"])[0])
+        key = jax.random.PRNGKey(self.config.logging.sampling_seed if seed is None else seed)
+        dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
+        lat0 = jax.random.normal(key, (b, s_img, self.bundle.dit_cfg.in_channels), dtype)
+        emb = {k: (jnp.asarray(v).astype(dtype)
+                   if jnp.asarray(v).dtype in (jnp.float32, jnp.float16) else jnp.asarray(v))
+               for k, v in emb.items()}
+        if "guidance" not in emb:
+            emb["guidance"] = jnp.full((b,), pcfg.guidance, dtype)
+        latents = sampler(params, emb, lat0, jnp.asarray(plan.sigmas))
+        return self.adapter.decode_latents(self.bundle, latents, height, width)
+
+    def predict(self, images, prompt: str, height: Optional[int] = None,
+                width: Optional[int] = None, **kw) -> np.ndarray:
+        """Full predict path on raw images (reference base_trainer.py:724-753)."""
+        if self.adapter is None:
+            self.load_model()
+        imgs = images if isinstance(images, list) else [images]
+        imgs = [np.asarray(im) for im in imgs]
+        proc = self.config.data.processor
+        from qflux_tpu.data.preprocess import ImageProcessor
+
+        processor = ImageProcessor(proc)
+        controls = [processor.process_image(im, f"control_{i}")
+                    for i, im in enumerate(imgs)]
+        height = height or controls[0].shape[0]
+        width = width or controls[0].shape[1]
+        batch = {"image": np.zeros((1, height, width, 3), np.uint8),
+                 "prompt": [prompt]}
+        if controls:
+            batch["control"] = controls[0][None]
+            for i, c in enumerate(controls[1:], start=1):
+                batch[f"control_{i}"] = c[None]
+        emb = self.adapter.prepare_embeddings(self.bundle, batch,
+                                              self.config.predict.max_sequence_length)
+        emb.pop("image_latents", None)
+        return self.predict_from_embeddings(emb, height, width, **kw)
+
+    def run_validation(self):
+        """In-training sampling on configured validation samples (reference
+        trainer/validation.py:332-478, single-program version: the mesh IS the
+        distribution, so there is no gather choreography)."""
+        samples = self.config.validation.samples
+        if not samples:
+            return
+        for i, s in enumerate(samples):
+            try:
+                from qflux_tpu.data.dataset import _read_image
+
+                controls = [_read_image(p) for p in s.get("images", [])]
+                img = self.predict(controls, s.get("prompt", ""),
+                                   num_inference_steps=self.config.validation.num_inference_steps)
+                self.logger.log_images(f"validation/sample_{i}", [im for im in img],
+                                       self.global_step)
+                self.logger.log_text(f"validation/prompt_{i}", s.get("prompt", ""),
+                                     self.global_step)
+            except Exception as e:
+                logging.warning("validation sample %d failed: %s", i, e)
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        parts = []
+        for k in path:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))))
+        out.append((parts, leaf))
+    return out

@@ -1,33 +1,82 @@
-"""FLUX.1-Kontext model adapter: wires the FLUX MMDiT into the shared train
-step and sampler.
+"""FLUX.1-Kontext model adapter: model loading, encoding, velocity prediction
+and decoding for the shared Trainer.
 
 The reference's FluxKontextLoraTrainer (reference
 trainer/flux_kontext_trainer.py:29-1828) owns the torch train loop, device
-juggling, and sampling; here the trainer-specific surface shrinks to pure
-functions over an embeddings batch:
+juggling, and sampling; here the trainer-specific surface is a pure-function
+adapter over an embeddings batch:
 
-  batch keys (what the cache pass / encoders produce — mirrors the cached
-  embedding set of reference cache_step, flux_kontext_trainer.py:431-468):
+  batch keys (the cached embedding set of reference cache_step,
+  flux_kontext_trainer.py:431-468):
     image_latents          [B, S_img, 64]   packed target VAE latents
     control_latents        [B, S_ctl, 64]   packed control latents (≥1 image)
     prompt_embeds          [B, S_txt, 4096] T5 sequence embeds
     pooled_prompt_embeds   [B, 768]         CLIP pooled embeds
     img_ids                [S_img+S_ctl, 3] (or [B, …, 3] per-sample)
     txt_ids                [S_txt, 3]
-    guidance               [B] optional (defaults 1.0 — Kontext-dev convention)
+    guidance               [B] optional (defaults 1.0 — Kontext-dev)
     segment_ids            [B, S_txt+S_img+S_ctl] optional (multi-res padding)
-    edit_mask / attention_mask — consumed by the criterion, not the model
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import logging
+from pathlib import Path
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from qflux_tpu.config import Config
 from qflux_tpu.models.flux import transformer as flux
+from qflux_tpu.models.flux import vae as flux_vae
+from qflux_tpu.models.flux.text_encoders import (
+    CLIPTextConfig,
+    T5Config,
+    clip_encode,
+    clip_init,
+    t5_encode,
+    t5_init,
+)
+from qflux_tpu.ops.packing import pack_latents, pixel_to_latent_hw, unpack_latents
+from qflux_tpu.ops.rope import flux_image_ids, flux_text_ids
+from qflux_tpu.utils.lora_io import flux_module_name, flux_tree_path
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """All model components of one family (the reference's per-trainer
+    self.dit/self.vae/self.text_encoder/... attributes)."""
+
+    dit_cfg: Any
+    dit_params: Any
+    vae_cfg: Any = None
+    vae_params: Any = None
+    text_cfgs: dict = dataclasses.field(default_factory=dict)
+    text_params: dict = dataclasses.field(default_factory=dict)
+    tokenizers: dict = dataclasses.field(default_factory=dict)
+
+
+class SimpleTokenizer:
+    """Hash-based fallback tokenizer for offline/test runs (real runs load the
+    HF tokenizers from the checkpoint directory)."""
+
+    def __init__(self, vocab_size: int, max_length: int, eos_token_id: int | None = None):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.eos = eos_token_id
+
+    def __call__(self, texts: list[str], max_length: int | None = None) -> np.ndarray:
+        L = max_length or self.max_length
+        out = np.zeros((len(texts), L), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % (self.vocab_size - 2) + 1 for w in t.split()][: L - 1]
+            out[i, : len(toks)] = toks
+            if self.eos is not None:
+                out[i, len(toks)] = self.eos
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,11 +84,219 @@ class FluxKontextAdapter:
     cfg: flux.FluxConfig
     attn_impl: str = "auto"
     remat: bool = True
+    vae_scale: int = 8
+
+    # -- identity used by the Trainer ---------------------------------------
+    lora_module_name_fn = staticmethod(flux_module_name)
+    lora_tree_path_fn = staticmethod(flux_tree_path)
+    default_lora_targets = (
+        r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)",
+    )
+
+    # ======================================================================
+    # loading
+
+    @classmethod
+    def load(cls, config: Config, dtype=jnp.bfloat16) -> tuple["FluxKontextAdapter", ModelBundle]:
+        """Build configs + params.  variant="test" → tiny random init;
+        otherwise load from local safetensors paths (dit_path/vae_path/…).
+
+        Weight files follow the diffusers checkpoint layout the reference
+        downloads from HF (reference models/flux_kontext_loader.py:145-181).
+        """
+        variant = config.model.variant
+        remat = config.mesh.remat != "none"
+        if variant == "test":
+            dit_cfg = flux.FluxConfig.tiny()
+            adapter = cls(dit_cfg, remat=remat)
+            key = jax.random.PRNGKey(0)
+            bundle = ModelBundle(
+                dit_cfg=dit_cfg,
+                dit_params=flux.init(key, dit_cfg, dtype=dtype),
+                vae_cfg=flux_vae.VAEConfig.tiny(),
+                vae_params=flux_vae.init(jax.random.fold_in(key, 1),
+                                         flux_vae.VAEConfig.tiny(), dtype=jnp.float32),
+                text_cfgs={"clip": CLIPTextConfig.tiny(), "t5": T5Config.tiny()},
+            )
+            bundle.text_params = {
+                "clip": clip_init(jax.random.fold_in(key, 2), bundle.text_cfgs["clip"]),
+                "t5": t5_init(jax.random.fold_in(key, 3), bundle.text_cfgs["t5"]),
+            }
+            clip_cfg = bundle.text_cfgs["clip"]
+            bundle.tokenizers = {
+                "clip": SimpleTokenizer(clip_cfg.vocab_size, clip_cfg.max_position_embeddings,
+                                        clip_cfg.eos_token_id),
+                "t5": SimpleTokenizer(bundle.text_cfgs["t5"].vocab_size, 64),
+            }
+            # tiny VAE only downsamples 2x; tiny adapter keeps the real /8 ↔
+            # pack conventions by treating its scale as the tiny VAE's
+            adapter = cls(dit_cfg, remat=remat, vae_scale=bundle.vae_cfg.downscale)
+            return adapter, bundle
+
+        from qflux_tpu.models.porting import (
+            convert_clip_text,
+            convert_flux_transformer,
+            convert_flux_vae,
+            load_safetensors,
+            convert_t5_encoder,
+        )
+
+        root = Path(config.model.pretrained_model_name_or_path or ".")
+        dit_cfg = flux.FluxConfig()
+        adapter = cls(dit_cfg, remat=remat)
+
+        def _load_dir(p: Path) -> dict[str, np.ndarray]:
+            sd: dict[str, np.ndarray] = {}
+            files = sorted(p.glob("*.safetensors")) if p.is_dir() else [p]
+            if not files:
+                raise FileNotFoundError(f"no safetensors under {p}")
+            for f in files:
+                sd.update(load_safetensors(str(f)))
+            return sd
+
+        dit_sd = _load_dir(Path(config.model.dit_path or root / "transformer"))
+        bundle = ModelBundle(
+            dit_cfg=dit_cfg,
+            dit_params=jax.tree.map(
+                lambda x: jnp.asarray(x, dtype),
+                convert_flux_transformer(dit_sd, dit_cfg.num_layers, dit_cfg.num_single_layers)),
+        )
+        vae_path = config.model.vae_path or root / "vae"
+        if Path(vae_path).exists():
+            bundle.vae_cfg = flux_vae.VAEConfig()
+            bundle.vae_params = jax.tree.map(
+                jnp.asarray, convert_flux_vae(_load_dir(Path(vae_path))))
+        te_path = config.model.text_encoder_path or root / "text_encoder"
+        if Path(te_path).exists():
+            bundle.text_cfgs["clip"] = CLIPTextConfig()
+            bundle.text_params["clip"] = jax.tree.map(
+                jnp.asarray, convert_clip_text(_load_dir(Path(te_path))))
+        te2_path = config.model.text_encoder_2_path or root / "text_encoder_2"
+        if Path(te2_path).exists():
+            bundle.text_cfgs["t5"] = T5Config()
+            bundle.text_params["t5"] = jax.tree.map(
+                jnp.asarray, convert_t5_encoder(_load_dir(Path(te2_path))))
+        try:
+            from transformers import AutoTokenizer
+
+            bundle.tokenizers = {
+                "clip": AutoTokenizer.from_pretrained(root / "tokenizer"),
+                "t5": AutoTokenizer.from_pretrained(root / "tokenizer_2"),
+            }
+        except Exception as e:  # pragma: no cover
+            logging.warning("tokenizers unavailable (%s); using hash fallback", e)
+            bundle.tokenizers = {
+                "clip": SimpleTokenizer(49408, 77, 49407),
+                "t5": SimpleTokenizer(32128, 512),
+            }
+        return adapter, bundle
+
+    # ======================================================================
+    # encoding (cache pass / non-cached training)
+
+    def encode_prompt(self, bundle: ModelBundle, prompts: list[str],
+                      max_sequence_length: int = 512):
+        """(prompt_embeds [B,S,4096], pooled [B,768], txt_ids) — dual-encoder
+        scheme of reference flux_kontext_trainer.py:798-840."""
+        tok_c, tok_t = bundle.tokenizers["clip"], bundle.tokenizers["t5"]
+        clip_cfg = bundle.text_cfgs["clip"]
+        if isinstance(tok_c, SimpleTokenizer):
+            clip_ids = tok_c(prompts)
+            t5_ids = tok_t(prompts, max_length=max_sequence_length)
+        else:  # HF tokenizers
+            clip_ids = np.asarray(tok_c(prompts, padding="max_length", truncation=True,
+                                        max_length=77, return_tensors="np")["input_ids"])
+            t5_ids = np.asarray(tok_t(prompts, padding="max_length", truncation=True,
+                                      max_length=max_sequence_length,
+                                      return_tensors="np")["input_ids"])
+        _, pooled = clip_encode(bundle.text_params["clip"], clip_cfg, jnp.asarray(clip_ids))
+        prompt_embeds = t5_encode(bundle.text_params["t5"], bundle.text_cfgs["t5"],
+                                  jnp.asarray(t5_ids))
+        txt_ids = jnp.asarray(flux_text_ids(prompt_embeds.shape[1]))
+        return prompt_embeds, pooled, txt_ids
+
+    def encode_vae_image(self, bundle: ModelBundle, images: np.ndarray) -> jax.Array:
+        """uint8 NHWC [B,H,W,3] → packed latents [B, S, C*4]."""
+        x = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
+        lat = flux_vae.encode(bundle.vae_params, bundle.vae_cfg, x)  # [B,h,w,C]
+        return pack_latents(lat)
+
+    def latent_grid(self, height: int, width: int) -> tuple[int, int]:
+        return (height // (self.vae_scale * 2), width // (self.vae_scale * 2))
+
+    def prepare_embeddings(self, bundle: ModelBundle, batch: dict,
+                           max_sequence_length: int = 512) -> dict:
+        """Full encode of one pixel batch (the non-cached training path /
+        cache pass, reference flux_kontext_trainer.py:313-429)."""
+        images = np.asarray(batch["image"])
+        b, H, W = images.shape[0], images.shape[1], images.shape[2]
+        gh, gw = self.latent_grid(H, W)
+        prompt_embeds, pooled, txt_ids = self.encode_prompt(
+            bundle, list(batch["prompt"]), max_sequence_length)
+        image_latents = self.encode_vae_image(bundle, images)
+
+        controls, ids = [], [flux_image_ids(gh, gw, 0)]
+        ctl_keys = [k for k in ("control",) if k in batch]
+        ctl_keys += sorted(k for k in batch if k.startswith("control_"))
+        for i, key in enumerate(ctl_keys):
+            ctl = np.asarray(batch[key])
+            cg_h, cg_w = self.latent_grid(ctl.shape[1], ctl.shape[2])
+            controls.append(self.encode_vae_image(bundle, ctl))
+            ids.append(flux_image_ids(cg_h, cg_w, i + 1))
+        out = {
+            "image_latents": image_latents,
+            "prompt_embeds": prompt_embeds,
+            "pooled_prompt_embeds": pooled,
+            "txt_ids": txt_ids,
+            "img_ids": jnp.asarray(np.concatenate(ids)),
+        }
+        if controls:
+            out["control_latents"] = jnp.concatenate(controls, axis=1)
+        else:  # control-free training degenerates to pure t2i
+            out["control_latents"] = jnp.zeros((b, 0, image_latents.shape[-1]),
+                                               image_latents.dtype)
+            out["img_ids"] = jnp.asarray(ids[0])
+        if "edit_mask" in batch:
+            out["edit_mask"] = jnp.asarray(batch["edit_mask"])
+        return out
+
+    def cache_embeddings(self, bundle: ModelBundle, item_batch: dict,
+                         max_sequence_length: int = 512) -> tuple[dict, dict]:
+        """One sample (bs=1 cache pass): returns ({embedding_key: np.ndarray},
+        {embedding_key: hash_key_name}) for EmbeddingCacheManager.save — the
+        8-embedding set of reference cache_step (flux_kontext_trainer.py:431-468)."""
+        emb = self.prepare_embeddings(bundle, item_batch, max_sequence_length)
+        empty_pe, empty_pooled, _ = self.encode_prompt(bundle, [""], max_sequence_length)
+        h = item_batch["file_hashes"][0] if isinstance(item_batch["file_hashes"], list) \
+            else item_batch["file_hashes"]
+        arrays = {
+            "image_latents": np.asarray(emb["image_latents"][0]),
+            "control_latents": np.asarray(emb["control_latents"][0]),
+            "prompt_embeds": np.asarray(emb["prompt_embeds"][0]),
+            "pooled_prompt_embeds": np.asarray(emb["pooled_prompt_embeds"][0]),
+            "empty_prompt_embeds": np.asarray(empty_pe[0]),
+            "empty_pooled_prompt_embeds": np.asarray(empty_pooled[0]),
+            "img_ids": np.asarray(emb["img_ids"]),
+            "txt_ids": np.asarray(emb["txt_ids"]),
+        }
+        hash_keys = {
+            "image_latents": h["image_hash"],
+            "control_latents": h.get("controls_sum_hash", h["image_hash"]),
+            "prompt_embeds": h["prompt_hash"],
+            "pooled_prompt_embeds": h["prompt_hash"],
+            "empty_prompt_embeds": h["empty_prompt_hash"],
+            "empty_pooled_prompt_embeds": h["empty_prompt_hash"],
+            "img_ids": h["main_hash"],
+            "txt_ids": h["prompt_hash"],
+        }
+        return arrays, hash_keys
+
+    # ======================================================================
+    # model forward
 
     def predict_velocity(self, params, batch, latents, sigma):
-        """Shared signature for train_step and sampler: DiT forward over
-        [noisy_target, control] concat, sliced back to target tokens
-        (reference _compute_loss, flux_kontext_trainer.py:530-567)."""
+        """DiT forward over [noisy_target, control] concat, sliced back to
+        target tokens (reference _compute_loss, flux_kontext_trainer.py:530-567)."""
         ctrl = batch["control_latents"].astype(latents.dtype)
         inp = jnp.concatenate([latents, ctrl], axis=1)
         s_img = latents.shape[1]
@@ -58,3 +315,16 @@ class FluxKontextAdapter:
             remat=self.remat,
         )
         return pred[:, :s_img]
+
+    # ======================================================================
+    # decoding
+
+    def decode_latents(self, bundle: ModelBundle, packed: jax.Array,
+                       height: int, width: int) -> np.ndarray:
+        """Packed latents → uint8 RGB images (reference decode_vae_latent,
+        flux_kontext_trainer.py:978-986)."""
+        gh, gw = self.latent_grid(height, width)
+        lat = unpack_latents(packed, gh * 2, gw * 2)
+        img = flux_vae.decode(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
+        img = (jnp.clip(img, -1, 1) + 1) * 127.5
+        return np.asarray(jnp.round(img)).astype(np.uint8)
