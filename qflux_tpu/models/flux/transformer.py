@@ -153,7 +153,6 @@ def init(key, cfg: FluxConfig, dtype=jnp.bfloat16):
         "x_embedder": dense_init(ks[0], cfg.in_channels, dim, dtype=dtype),
         "context_embedder": dense_init(ks[1], cfg.joint_attention_dim, dim, dtype=dtype),
         "time_in": mlp_init(ks[2], 256, dim, out_dim=dim, dtype=dtype),
-        "pooled_in": mlp_init(ks[3], cfg.pooled_projection_dim, dim, out_dim=dim, dtype=dtype),
         "dual": jax.vmap(lambda k: _dual_block_init(k, cfg, dtype))(
             jax.random.split(ks[4], cfg.num_layers)),
         "single": jax.vmap(lambda k: _single_block_init(k, cfg, dtype))(
@@ -161,6 +160,9 @@ def init(key, cfg: FluxConfig, dtype=jnp.bfloat16):
         "norm_out": {"proj": dense_init(ks[6], dim, 2 * dim, dtype=dtype)},
         "proj_out": dense_init(ks[7], dim, cfg.patch_size ** 2 * cfg.out_channels, dtype=dtype),
     }
+    if cfg.pooled_projection_dim:
+        params["pooled_in"] = mlp_init(ks[3], cfg.pooled_projection_dim, dim,
+                                       out_dim=dim, dtype=dtype)
     if cfg.guidance_embeds:
         params["guidance_in"] = mlp_init(jax.random.split(ks[7])[0], 256, dim, out_dim=dim, dtype=dtype)
     return params
@@ -249,7 +251,7 @@ def forward(
     cfg: FluxConfig,
     hidden_states: jax.Array,          # [B, S_img, in_channels] packed latents
     encoder_hidden_states: jax.Array,  # [B, S_txt, joint_attention_dim]
-    pooled_projections: jax.Array,     # [B, pooled_projection_dim]
+    pooled_projections: Optional[jax.Array],  # [B, pooled_projection_dim] (None for FLUX.2)
     timestep: jax.Array,               # [B] in [0, 1]
     img_ids: jax.Array,                # [S_img, 3] or [B, S_img, 3]
     txt_ids: jax.Array,                # [S_txt, 3] or [B, S_txt, 3]
@@ -268,7 +270,8 @@ def forward(
         if guidance is None:
             raise ValueError("guidance_embeds model requires a guidance input")
         temb = temb + mlp_silu(params["guidance_in"], sinusoidal_embedding(guidance))
-    temb = temb + mlp_silu(params["pooled_in"], pooled_projections.astype(jnp.float32))
+    if cfg.pooled_projection_dim and pooled_projections is not None:
+        temb = temb + mlp_silu(params["pooled_in"], pooled_projections.astype(jnp.float32))
     temb = temb.astype(img.dtype)
 
     ids = jnp.concatenate([txt_ids, img_ids], axis=-2)

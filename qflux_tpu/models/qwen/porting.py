@@ -1,0 +1,118 @@
+"""Qwen-family checkpoint converters (Qwen2.5-VL encoder, Qwen-Image DiT,
+Qwen 3D VAE)."""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from qflux_tpu.models.porting import _lin, _lin_nobias, _scale, _stack
+
+
+def _detect_prefix(sd: Mapping[str, np.ndarray], candidates: list[str]) -> str:
+    for c in candidates:
+        if any(k.startswith(c) for k in sd):
+            return c
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL (HF Qwen2_5_VLForConditionalGeneration names)
+
+def convert_vl_vision(sd: Mapping[str, np.ndarray], depth: int,
+                      dtype=np.float32) -> dict:
+    pre = _detect_prefix(sd, ["model.visual.", "visual."])
+    p = {
+        # Conv3d weight [D, C, tps, ps, ps] → [C·tps·ps², D] matmul kernel
+        # (flatten order matches the HF processor's patch flattening)
+        "patch_embed": {"kernel": np.ascontiguousarray(
+            sd[f"{pre}patch_embed.proj.weight"].reshape(
+                sd[f"{pre}patch_embed.proj.weight"].shape[0], -1).T).astype(dtype)},
+        "merger": {
+            "ln_q": _scale(sd, f"{pre}merger.ln_q", dtype),
+            "mlp_0": _lin(sd, f"{pre}merger.mlp.0", dtype),
+            "mlp_2": _lin(sd, f"{pre}merger.mlp.2", dtype),
+        },
+        "blocks": [],
+    }
+    for i in range(depth):
+        b = f"{pre}blocks.{i}"
+        p["blocks"].append({
+            "norm1": _scale(sd, f"{b}.norm1", dtype),
+            "norm2": _scale(sd, f"{b}.norm2", dtype),
+            "attn": {"qkv": _lin(sd, f"{b}.attn.qkv", dtype),
+                     "proj": _lin(sd, f"{b}.attn.proj", dtype)},
+            "mlp": {"gate": _lin(sd, f"{b}.mlp.gate_proj", dtype),
+                    "up": _lin(sd, f"{b}.mlp.up_proj", dtype),
+                    "down": _lin(sd, f"{b}.mlp.down_proj", dtype)},
+        })
+    return p
+
+
+def convert_vl_text(sd: Mapping[str, np.ndarray], num_layers: int,
+                    dtype=np.float32) -> dict:
+    pre = _detect_prefix(sd, ["model.language_model.", "language_model.model.", "model."])
+    p = {
+        "embed_tokens": sd[f"{pre}embed_tokens.weight"].astype(dtype),
+        "norm": _scale(sd, f"{pre}norm", dtype),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        b = f"{pre}layers.{i}"
+        p["layers"].append({
+            "input_layernorm": _scale(sd, f"{b}.input_layernorm", dtype),
+            "post_attention_layernorm": _scale(sd, f"{b}.post_attention_layernorm", dtype),
+            "attn": {"q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                     "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                     "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                     "o": _lin_nobias(sd, f"{b}.self_attn.o_proj", dtype)},
+            "mlp": {"gate": _lin_nobias(sd, f"{b}.mlp.gate_proj", dtype),
+                    "up": _lin_nobias(sd, f"{b}.mlp.up_proj", dtype),
+                    "down": _lin_nobias(sd, f"{b}.mlp.down_proj", dtype)},
+        })
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Qwen-Image MMDiT (diffusers QwenImageTransformer2DModel names,
+# reference models/transformer_qwenimage.py:497-570)
+
+def convert_qwen_image_transformer(sd: Mapping[str, np.ndarray], num_layers=60,
+                                   dtype=np.float32) -> dict:
+    p = {
+        "img_in": _lin(sd, "img_in", dtype),
+        "txt_in": _lin(sd, "txt_in", dtype),
+        "txt_norm": _scale(sd, "txt_norm", dtype),
+        "time_in": {"in": _lin(sd, "time_text_embed.timestep_embedder.linear_1", dtype),
+                    "out": _lin(sd, "time_text_embed.timestep_embedder.linear_2", dtype)},
+        "norm_out": {"proj": _lin(sd, "norm_out.linear", dtype)},
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+    blocks = []
+    for i in range(num_layers):
+        b = f"transformer_blocks.{i}"
+        blocks.append({
+            "img_mod": {"proj": _lin(sd, f"{b}.img_mod.1", dtype)},
+            "txt_mod": {"proj": _lin(sd, f"{b}.txt_mod.1", dtype)},
+            "attn": {
+                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
+                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
+                "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
+                "add_q": _lin(sd, f"{b}.attn.add_q_proj", dtype),
+                "add_k": _lin(sd, f"{b}.attn.add_k_proj", dtype),
+                "add_v": _lin(sd, f"{b}.attn.add_v_proj", dtype),
+                "add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
+                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
+                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
+                "norm_added_q": _scale(sd, f"{b}.attn.norm_added_q", dtype),
+                "norm_added_k": _scale(sd, f"{b}.attn.norm_added_k", dtype),
+            },
+            "img_mlp": {"in": _lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
+                        "out": _lin(sd, f"{b}.img_mlp.net.2", dtype)},
+            "txt_mlp": {"in": _lin(sd, f"{b}.txt_mlp.net.0.proj", dtype),
+                        "out": _lin(sd, f"{b}.txt_mlp.net.2", dtype)},
+        })
+    p["blocks"] = _stack(blocks)
+    return p

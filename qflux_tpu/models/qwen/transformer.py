@@ -1,0 +1,240 @@
+"""Qwen-Image MMDiT (60 dual-stream blocks) — TPU-native.
+
+Functional re-design of the vendored QwenImageTransformer2DModel (reference
+models/transformer_qwenimage.py:497-668; block :378-494; attention processor
+:257-354; RoPE :159-254):
+
+  * scan-over-stacked-blocks with remat (one traced block, 60 iterations);
+  * joint [txt, img] attention via ops.attention (Pallas flash on TPU) with
+    segment-id masking (replaces encoder_hidden_states_mask / 4D masks);
+  * RoPE computed once per call from (video_fhw, txt_seq_len) in the real
+    cos/sin form — the reference's complex multiply is algebraically the same
+    rotation (ops/rope.py);
+  * per-sample RoPE (batched [B, S, D] cos/sin) subsumes the reference's
+    QwenEmbedRopeBatched custom model (reference transformer_qwen_custom.py).
+
+Block math (matches the reference exactly): per-stream AdaLN — SiLU(temb) →
+Linear(dim→6·dim) → two (shift, scale, gate) triples for attn and MLP; LN
+without affine; qk RMSNorm; GELU-tanh MLPs; temb from sinusoidal-256 only
+(no pooled text, unlike FLUX).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
+from qflux_tpu.ops.attention import dot_product_attention
+from qflux_tpu.ops.layers import dense, dense_init, mlp_init
+from qflux_tpu.ops.norms import layer_norm, rms_norm
+from qflux_tpu.ops.rope import qwen_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageConfig:
+    patch_size: int = 2
+    in_channels: int = 64
+    out_channels: int = 16
+    num_layers: int = 60
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 3584
+    guidance_embeds: bool = False
+    axes_dims_rope: tuple[int, ...] = (16, 56, 56)
+    mlp_ratio: float = 4.0
+    scale_rope: bool = True
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @classmethod
+    def tiny(cls) -> "QwenImageConfig":
+        return cls(num_layers=2, attention_head_dim=32, num_attention_heads=4,
+                   joint_attention_dim=48, in_channels=16, out_channels=4,
+                   axes_dims_rope=(8, 12, 12))
+
+    @classmethod
+    def bench(cls) -> "QwenImageConfig":
+        """Full-width blocks (3072 hidden), reduced depth for one chip."""
+        return cls(num_layers=8)
+
+    def matmul_flops(self, s_img: int, s_txt: int) -> float:
+        d = self.dim
+        s = s_img + s_txt
+        per_block = (
+            2 * s * d * (8 * d)      # img+txt qkv+out projections
+            + 2 * s * d * (16 * d)   # two 4× MLPs
+            + 2 * s * d * (12 * d)   # img_mod + txt_mod
+            + 4 * s * s * d          # attention
+        )
+        head = (2 * s_img * d * (self.in_channels
+                                 + self.patch_size ** 2 * self.out_channels)
+                + 2 * s_txt * d * self.joint_attention_dim)
+        return self.num_layers * per_block + head
+
+
+# ---------------------------------------------------------------------------
+# init
+
+def _block_init(key, cfg: QwenImageConfig, dtype):
+    dim, dh = cfg.dim, cfg.attention_head_dim
+    hidden = int(dim * cfg.mlp_ratio)
+    ks = jax.random.split(key, 12)
+    return {
+        "img_mod": {"proj": dense_init(ks[0], dim, 6 * dim, dtype=dtype)},
+        "txt_mod": {"proj": dense_init(ks[1], dim, 6 * dim, dtype=dtype)},
+        "attn": {
+            "to_q": dense_init(ks[2], dim, dim, dtype=dtype),
+            "to_k": dense_init(ks[3], dim, dim, dtype=dtype),
+            "to_v": dense_init(ks[4], dim, dim, dtype=dtype),
+            "to_out": dense_init(ks[5], dim, dim, dtype=dtype),
+            "add_q": dense_init(ks[6], dim, dim, dtype=dtype),
+            "add_k": dense_init(ks[7], dim, dim, dtype=dtype),
+            "add_v": dense_init(ks[8], dim, dim, dtype=dtype),
+            "add_out": dense_init(ks[9], dim, dim, dtype=dtype),
+            "norm_q": {"scale": jnp.ones((dh,), dtype)},
+            "norm_k": {"scale": jnp.ones((dh,), dtype)},
+            "norm_added_q": {"scale": jnp.ones((dh,), dtype)},
+            "norm_added_k": {"scale": jnp.ones((dh,), dtype)},
+        },
+        "img_mlp": mlp_init(ks[10], dim, hidden, dtype=dtype),
+        "txt_mlp": mlp_init(ks[11], dim, hidden, dtype=dtype),
+    }
+
+
+def init(key, cfg: QwenImageConfig, dtype=jnp.bfloat16):
+    dim = cfg.dim
+    ks = jax.random.split(key, 8)
+    params = {
+        "img_in": dense_init(ks[0], cfg.in_channels, dim, dtype=dtype),
+        "txt_norm": {"scale": jnp.ones((cfg.joint_attention_dim,), dtype)},
+        "txt_in": dense_init(ks[1], cfg.joint_attention_dim, dim, dtype=dtype),
+        "time_in": mlp_init(ks[2], 256, dim, out_dim=dim, dtype=dtype),
+        "blocks": jax.vmap(lambda k: _block_init(k, cfg, dtype))(
+            jax.random.split(ks[3], cfg.num_layers)),
+        "norm_out": {"proj": dense_init(ks[4], dim, 2 * dim, dtype=dtype)},
+        "proj_out": dense_init(ks[5], dim, cfg.patch_size ** 2 * cfg.out_channels,
+                               dtype=dtype),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = mlp_init(ks[6], 256, dim, out_dim=dim, dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+def _heads(x, n):
+    return x.reshape(x.shape[0], x.shape[1], n, -1)
+
+
+def _rope_apply(x, cos, sin):
+    if cos.ndim == 2:
+        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
+    else:
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def _modulate3(x, mod):
+    """mod [B, 3D] → (modulated x, gate [B,1,D]); chunk order shift/scale/gate."""
+    shift, scale, gate = jnp.split(mod, 3, axis=-1)
+    y = x * (1.0 + scale[:, None, :].astype(x.dtype)) + shift[:, None, :].astype(x.dtype)
+    return y, gate[:, None, :].astype(x.dtype)
+
+
+def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg, attn_impl):
+    n_h = cfg.num_attention_heads
+    st = txt.shape[1]
+
+    img_mod = dense(p["img_mod"]["proj"], jax.nn.silu(temb.astype(jnp.float32)))
+    txt_mod = dense(p["txt_mod"]["proj"], jax.nn.silu(temb.astype(jnp.float32)))
+    img_mod1, img_mod2 = jnp.split(img_mod, 2, axis=-1)
+    txt_mod1, txt_mod2 = jnp.split(txt_mod, 2, axis=-1)
+
+    img_n, img_gate1 = _modulate3(layer_norm(img), img_mod1)
+    txt_n, txt_gate1 = _modulate3(layer_norm(txt), txt_mod1)
+
+    a = p["attn"]
+    q_i = rms_norm(_heads(dense(a["to_q"], img_n), n_h), a["norm_q"]["scale"])
+    k_i = rms_norm(_heads(dense(a["to_k"], img_n), n_h), a["norm_k"]["scale"])
+    v_i = _heads(dense(a["to_v"], img_n), n_h)
+    q_t = rms_norm(_heads(dense(a["add_q"], txt_n), n_h), a["norm_added_q"]["scale"])
+    k_t = rms_norm(_heads(dense(a["add_k"], txt_n), n_h), a["norm_added_k"]["scale"])
+    v_t = _heads(dense(a["add_v"], txt_n), n_h)
+
+    q_i = _rope_apply(q_i, vid_cos, vid_sin)
+    k_i = _rope_apply(k_i, vid_cos, vid_sin)
+    q_t = _rope_apply(q_t, txt_cos, txt_sin)
+    k_t = _rope_apply(k_t, txt_cos, txt_sin)
+
+    # joint order [txt, img] (reference transformer_qwenimage.py:322-325)
+    q = jnp.concatenate([q_t, q_i], axis=1)
+    k = jnp.concatenate([k_t, k_i], axis=1)
+    v = jnp.concatenate([v_t, v_i], axis=1)
+    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    o = o.reshape(o.shape[0], o.shape[1], -1)
+    txt_attn, img_attn = o[:, :st], o[:, st:]
+
+    img = img + img_gate1 * dense(a["to_out"], img_attn)
+    txt = txt + txt_gate1 * dense(a["add_out"], txt_attn)
+
+    img_n2, img_gate2 = _modulate3(layer_norm(img), img_mod2)
+    img = img + img_gate2 * dense(
+        p["img_mlp"]["out"], jax.nn.gelu(dense(p["img_mlp"]["in"], img_n2), approximate=True))
+    txt_n2, txt_gate2 = _modulate3(layer_norm(txt), txt_mod2)
+    txt = txt + txt_gate2 * dense(
+        p["txt_mlp"]["out"], jax.nn.gelu(dense(p["txt_mlp"]["in"], txt_n2), approximate=True))
+    return img, txt
+
+
+def forward(
+    params,
+    cfg: QwenImageConfig,
+    hidden_states: jax.Array,           # [B, S_img, in_channels]
+    encoder_hidden_states: jax.Array,   # [B, S_txt, joint_attention_dim]
+    timestep: jax.Array,                # [B] σ ∈ [0, 1]
+    img_shapes: list[tuple[int, int, int]],  # [(f, h, w), …] per image plane
+    guidance: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,   # [B, S_txt + S_img]
+    rope: Optional[tuple] = None,       # precomputed (vid_cos, vid_sin, txt_cos, txt_sin)
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> jax.Array:
+    """Returns [B, S_img, patch²·out_channels] over the full image stream."""
+    img = dense(params["img_in"], hidden_states)
+    txt = rms_norm(encoder_hidden_states, params["txt_norm"]["scale"])
+    txt = dense(params["txt_in"], txt)
+
+    temb = mlp_silu(params["time_in"], sinusoidal_embedding(timestep))
+    if cfg.guidance_embeds and guidance is not None:
+        temb = temb + mlp_silu(params["guidance_in"], sinusoidal_embedding(guidance))
+    temb = temb.astype(img.dtype)
+
+    if rope is None:
+        rope = qwen_rope(img_shapes, txt.shape[1], cfg.axes_dims_rope,
+                         scale_rope=cfg.scale_rope)
+    vid_cos, vid_sin, txt_cos, txt_sin = rope
+
+    def body(carry, p):
+        i, t = _block(p, cfg, carry[0], carry[1], temb, vid_cos, vid_sin,
+                      txt_cos, txt_sin, segment_ids, attn_impl)
+        return (i, t), None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+
+    from qflux_tpu.ops.norms import ada_ln_mods, modulate
+
+    scale, shift = ada_ln_mods(params["norm_out"], temb, 2)
+    img = modulate(layer_norm(img), shift, scale)
+    return dense(params["proj_out"], img)

@@ -276,6 +276,8 @@ class Trainer:
                 if k in emb and np.ndim(emb[k]) == 3:
                     emb[k] = np.asarray(emb[k])[0]  # shared ids collated per-sample
             emb.pop("cached", None)
+            if hasattr(self.adapter, "prepare_cached_embeddings"):
+                emb = self.adapter.prepare_cached_embeddings(emb)
             return emb
         return self.adapter.prepare_embeddings(self.bundle, batch,
                                                self.config.predict.max_sequence_length)
@@ -287,7 +289,10 @@ class Trainer:
             arr = jnp.asarray(v)
             if arr.dtype in (jnp.float32, jnp.float16, jnp.float64):
                 arr = arr.astype(dtype) if k != "edit_mask" else arr.astype(jnp.float32)
-            if arr.ndim >= 1 and k not in ("img_ids", "txt_ids") and arr.shape[0] > 1:
+            batch_leading = (arr.ndim >= 1 and arr.shape[0] > 1
+                             and not k.startswith(("img_ids", "txt_ids", "rope_",
+                                                   "img_shapes")))
+            if batch_leading:
                 arr = jax.device_put(arr, sharding)
             out[k] = arr
         return out
