@@ -211,6 +211,10 @@ class DataSection(StrictModel):
     num_workers: int = 0
     caption_dropout_rate: float = 0.0
     use_edit_mask: bool = False
+    # True (default): group batches by resolution bucket — one compiled step
+    # per static shape. False: allow mixed-shape batches via the padded +
+    # segment-masked multi-resolution path.
+    bucket_by_shape: bool = True
 
 
 class CacheSection(StrictModel):

@@ -69,7 +69,8 @@ def main(argv=None):
     else:
         dl = DataLoader(dataset, batch_size=config.data.batch_size,
                         shuffle=config.data.shuffle, drop_last=config.data.drop_last,
-                        seed=config.train.seed)
+                        seed=config.train.seed,
+                        bucket_by_shape=config.data.bucket_by_shape)
         trainer.fit(dl)
 
 

@@ -274,6 +274,12 @@ def forward(
         temb = temb + mlp_silu(params["pooled_in"], pooled_projections.astype(jnp.float32))
     temb = temb.astype(img.dtype)
 
+    if txt_ids.ndim != img_ids.ndim:  # mixed shared/per-sample ids
+        b = hidden_states.shape[0]
+        if txt_ids.ndim == 2:
+            txt_ids = jnp.broadcast_to(txt_ids[None], (b,) + txt_ids.shape)
+        if img_ids.ndim == 2:
+            img_ids = jnp.broadcast_to(img_ids[None], (b,) + img_ids.shape)
     ids = jnp.concatenate([txt_ids, img_ids], axis=-2)
     cos, sin = rope_from_coords(ids, cfg.axes_dims_rope)
 

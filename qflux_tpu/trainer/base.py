@@ -272,15 +272,50 @@ class Trainer:
         if "image_latents" in batch:
             emb = {k: v for k, v in batch.items()
                    if isinstance(v, np.ndarray) or hasattr(v, "device")}
-            for k in ("img_ids", "txt_ids"):
-                if k in emb and np.ndim(emb[k]) == 3:
-                    emb[k] = np.asarray(emb[k])[0]  # shared ids collated per-sample
             emb.pop("cached", None)
+            valid = batch.get("valid_masks") or {}
+            multires = any(k in valid for k in ("image_latents", "control_latents"))
+            if multires:
+                emb = self._build_multires_masks(emb, valid)
+            else:
+                for k in ("img_ids", "txt_ids"):
+                    if k in emb and np.ndim(emb[k]) == 3:
+                        emb[k] = np.asarray(emb[k])[0]  # shared ids, collated per-sample
             if hasattr(self.adapter, "prepare_cached_embeddings"):
                 emb = self.adapter.prepare_cached_embeddings(emb)
             return emb
         return self.adapter.prepare_embeddings(self.bundle, batch,
                                                self.config.predict.max_sequence_length)
+
+    def _build_multires_masks(self, emb: dict, valid: dict) -> dict:
+        """Mixed-resolution cached batch: collate right-padded the latents;
+        derive the joint-attention segment ids + token loss mask (the
+        reference's multi-res padding path, flux_kontext_trainer.py:579-796,
+        re-expressed as segment ids for the flash kernel).
+
+        Joint layout: [txt, target, control]; padding → segment 0."""
+        b = np.shape(emb["image_latents"])[0]
+        img_valid = np.asarray(valid.get(
+            "image_latents", np.ones(np.shape(emb["image_latents"])[:2], bool)))
+        parts = []
+        if "prompt_embeds_mask" in emb:
+            parts.append(np.asarray(emb["prompt_embeds_mask"]).astype(np.int32))
+        else:
+            parts.append(np.ones((b, np.shape(emb["prompt_embeds"])[1]), np.int32))
+        parts.append(img_valid.astype(np.int32))
+        if "control_latents" in emb and np.shape(emb["control_latents"])[1]:
+            ctl_valid = np.asarray(valid.get(
+                "control_latents", np.ones(np.shape(emb["control_latents"])[:2], bool)))
+            parts.append(ctl_valid.astype(np.int32))
+        emb["segment_ids"] = np.concatenate(parts, axis=1)
+        emb["attention_mask"] = img_valid.astype(np.float32)  # token loss mask
+        if not isinstance(self.build_criterion(), AttentionMaskMseLoss):
+            logging.warning(
+                "multi-resolution batch with a non-token-masked loss (%s); "
+                "padded tokens will pollute the loss — set "
+                "loss.class_path=qflux_tpu.losses.AttentionMaskMseLoss",
+                self.config.loss.class_path)
+        return emb
 
     def _device_batch(self, emb: dict, sharding) -> dict:
         out = {}

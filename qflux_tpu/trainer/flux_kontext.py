@@ -269,6 +269,11 @@ class FluxKontextAdapter:
         empty_pe, empty_pooled, _ = self.encode_prompt(bundle, [""], max_sequence_length)
         h = item_batch["file_hashes"][0] if isinstance(item_batch["file_hashes"], list) \
             else item_batch["file_hashes"]
+        # target and control ids cached SEPARATELY: under multi-res batching
+        # the latents pad independently, so a fused [tgt+ctl] id array would
+        # misalign after padding (prepare_cached_embeddings re-concatenates)
+        ids = np.asarray(emb["img_ids"])
+        s_img = int(np.shape(emb["image_latents"])[1])
         arrays = {
             "image_latents": np.asarray(emb["image_latents"][0]),
             "control_latents": np.asarray(emb["control_latents"][0]),
@@ -276,7 +281,8 @@ class FluxKontextAdapter:
             "pooled_prompt_embeds": np.asarray(emb["pooled_prompt_embeds"][0]),
             "empty_prompt_embeds": np.asarray(empty_pe[0]),
             "empty_pooled_prompt_embeds": np.asarray(empty_pooled[0]),
-            "img_ids": np.asarray(emb["img_ids"]),
+            "tgt_ids": ids[:s_img],
+            "ctl_ids": ids[s_img:],
             "txt_ids": np.asarray(emb["txt_ids"]),
         }
         hash_keys = {
@@ -286,10 +292,35 @@ class FluxKontextAdapter:
             "pooled_prompt_embeds": h["prompt_hash"],
             "empty_prompt_embeds": h["empty_prompt_hash"],
             "empty_pooled_prompt_embeds": h["empty_prompt_hash"],
-            "img_ids": h["main_hash"],
+            "tgt_ids": h["image_hash"],
+            "ctl_ids": h.get("controls_sum_hash", h["main_hash"]),
             "txt_ids": h["prompt_hash"],
         }
         return arrays, hash_keys
+
+    def prepare_cached_embeddings(self, emb: dict) -> dict:
+        """Rebuild img_ids from the separately-cached target/control ids.
+
+        Single-res batches (identical shapes) collapse to shared 2D ids;
+        mixed-resolution batches keep per-sample [B, S, 3] ids (the padded
+        rows are segment-masked, so their zero ids are inert)."""
+        if "img_ids" in emb or "tgt_ids" not in emb:
+            return emb
+        emb = dict(emb)
+        tgt = np.asarray(emb.pop("tgt_ids"))
+        ctl = np.asarray(emb.pop("ctl_ids"))
+        txt = np.asarray(emb["txt_ids"]) if "txt_ids" in emb else None
+        if tgt.ndim == 3:  # collated per-sample
+            ids = np.concatenate([tgt, ctl], axis=1)
+            same = bool((ids == ids[0]).all())
+            emb["img_ids"] = jnp.asarray(ids[0] if same else ids)
+            if txt is not None:
+                emb["txt_ids"] = jnp.asarray(txt[0] if txt.ndim == 3 else txt)
+        else:
+            emb["img_ids"] = jnp.asarray(np.concatenate([tgt, ctl], axis=0))
+            if txt is not None:
+                emb["txt_ids"] = jnp.asarray(txt)
+        return emb
 
     # ======================================================================
     # model forward

@@ -343,15 +343,49 @@ class QwenImageEditAdapter:
 
     def prepare_cached_embeddings(self, emb: dict) -> dict:
         """Host-side completion of a cache-loaded batch: rebuild the RoPE
-        tables from the cached img_shapes_arr (concrete values, pre-jit)."""
+        tables from the cached img_shapes_arr (concrete values, pre-jit).
+
+        Mixed-resolution batches get PER-SAMPLE [B, S, D] tables with
+        identity-rotation (cos=1, sin=0) padding rows — the TPU analogue of
+        the reference's QwenEmbedRopeBatched / identity-rotation padding
+        (reference transformer_qwen_custom.py:72-150,
+        transformer_flux_custom.py:144-155)."""
         if "rope_vid_cos" in emb:
             return emb
         arr = np.asarray(emb["img_shapes_arr"])
-        if arr.ndim == 3:
-            arr = arr[0]
         txt_len = int(np.shape(emb["prompt_embeds"])[1])
         emb = dict(emb)
-        emb.update(self.rope_for([tuple(r) for r in arr], txt_len))
+        if arr.ndim == 2 or bool((arr == arr[0]).all()):
+            rows = arr[0] if arr.ndim == 3 else arr
+            emb.update(self.rope_for([tuple(r) for r in rows], txt_len))
+            return emb
+        # multi-res: per-sample tables split into (target | control) sections
+        # so they align with the independently-padded latent sections
+        max_tgt = int(np.shape(emb["image_latents"])[1])
+        max_ctl = int(np.shape(emb["control_latents"])[1])
+        vt_cos, vt_sin, tx_cos, tx_sin = [], [], [], []
+        for rows in arr:
+            shapes = [tuple(int(v) for v in r) for r in rows if int(r[1]) > 0]
+            r = self.rope_for(shapes, txt_len)
+            s_tgt = shapes[0][0] * shapes[0][1] * shapes[0][2]
+            vc, vs = np.asarray(r["rope_vid_cos"]), np.asarray(r["rope_vid_sin"])
+
+            def pad_id(c, sn, n):
+                d = c.shape[-1]
+                cp = np.concatenate([c, np.ones((n - len(c), d), np.float32)])
+                sp = np.concatenate([sn, np.zeros((n - len(sn), d), np.float32)])
+                return cp, sp
+
+            tc, ts = pad_id(vc[:s_tgt], vs[:s_tgt], max_tgt)
+            cc, cs = pad_id(vc[s_tgt:], vs[s_tgt:], max_ctl)
+            vt_cos.append(np.concatenate([tc, cc]))
+            vt_sin.append(np.concatenate([ts, cs]))
+            tx_cos.append(np.asarray(r["rope_txt_cos"]))
+            tx_sin.append(np.asarray(r["rope_txt_sin"]))
+        emb["rope_vid_cos"] = jnp.asarray(np.stack(vt_cos))
+        emb["rope_vid_sin"] = jnp.asarray(np.stack(vt_sin))
+        emb["rope_txt_cos"] = jnp.asarray(np.stack(tx_cos))
+        emb["rope_txt_sin"] = jnp.asarray(np.stack(tx_sin))
         return emb
 
     def cache_embeddings(self, bundle: ModelBundle, item_batch: dict,
