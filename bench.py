@@ -49,7 +49,8 @@ def main():
         jax.random.PRNGKey(1), params,
         [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
         rank=16, alpha=16, dtype=jnp.bfloat16)
-    adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True)
+    adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True,
+                                 remat_policy="dots")
     opt = optax.adamw(1e-4)
     step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
     state = TrainState.create(lora, opt)

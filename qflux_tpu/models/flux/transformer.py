@@ -75,20 +75,21 @@ class FluxConfig:
     def matmul_flops(self, s_img: int, s_txt: int) -> float:
         """Analytic forward matmul FLOPs for one sample (2·m·n·k per GEMM),
         including attention score/value GEMMs. Used to extrapolate bench-model
-        measurements to the full 19+38-layer model."""
+        measurements to the full 19+38-layer model.
+
+        AdaLN modulation projections act on temb [B, D] (no sequence factor)
+        — negligible, excluded."""
         d = self.dim
         s = s_img + s_txt
         per_dual = (
             2 * s * d * (8 * d)          # qkv+out for both streams (4 proj × 2 streams)
             + 2 * s * d * (16 * d)       # two 4× MLPs (in+out each 4d²)
-            + 2 * s * d * (12 * d)       # img_mod + txt_mod (6d² each)
             + 4 * s * s * d              # attention: QK^T + PV
         )
         per_single = (
             2 * s * d * (3 * d)          # qkv
             + 2 * s * d * (4 * d)        # proj_mlp
             + 2 * s * d * (5 * d)        # proj_out (d+4d → d)
-            + 2 * s * d * (3 * d)        # modulation
             + 4 * s * s * d
         )
         head = 2 * s_img * d * (self.in_channels + self.out_channels) + 2 * s_txt * d * self.joint_attention_dim
@@ -259,6 +260,7 @@ def forward(
     segment_ids: Optional[jax.Array] = None,  # [B, S_txt+S_img]; 0 = padding
     attn_impl: str = "auto",
     remat: bool = True,
+    remat_policy: str = "full",  # full | dots (save matmul outputs, less recompute)
 ) -> jax.Array:
     """Returns [B, S_img, out_channels] velocity prediction (full sequence —
     callers slice [:, :S_target] to drop control-image positions)."""
@@ -290,8 +292,10 @@ def forward(
     single_fn = lambda x, p: (_single_block(p, cfg, x, temb, cos, sin, segment_ids,
                                             attn_impl), None)
     if remat:
-        dual_fn = jax.checkpoint(dual_fn, prevent_cse=False)
-        single_fn = jax.checkpoint(single_fn, prevent_cse=False)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat_policy == "dots" else None)
+        dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
+        single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)
 
     (img, txt), _ = jax.lax.scan(dual_fn, (img, txt), params["dual"])
     x = jnp.concatenate([txt, img], axis=1)

@@ -70,8 +70,7 @@ class QwenImageConfig:
         per_block = (
             2 * s * d * (8 * d)      # img+txt qkv+out projections
             + 2 * s * d * (16 * d)   # two 4× MLPs
-            + 2 * s * d * (12 * d)   # img_mod + txt_mod
-            + 4 * s * s * d          # attention
+            + 4 * s * s * d          # attention (AdaLN mods act on [B,D]: negligible)
         )
         head = (2 * s_img * d * (self.in_channels
                                  + self.patch_size ** 2 * self.out_channels)

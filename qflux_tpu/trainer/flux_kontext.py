@@ -84,6 +84,7 @@ class FluxKontextAdapter:
     cfg: flux.FluxConfig
     attn_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "full"
     vae_scale: int = 8
 
     # -- identity used by the Trainer ---------------------------------------
@@ -344,6 +345,7 @@ class FluxKontextAdapter:
             segment_ids=batch.get("segment_ids"),
             attn_impl=self.attn_impl,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         return pred[:, :s_img]
 
