@@ -95,7 +95,9 @@ class ImageDataset:
         cache_dir: Optional[str] = None,
         use_cache: bool = False,
         caption_dropout_rate: float = 0.0,
+        prompt_image_dropout_rate: float = 0.0,
         use_edit_mask: bool = False,
+        selected_control_indexes: Optional[Sequence[int]] = None,
         seed: int = 0,
         **_,
     ):
@@ -103,7 +105,13 @@ class ImageDataset:
         self.cache_manager = EmbeddingCacheManager(cache_dir) if cache_dir else None
         self.use_cache = use_cache and cache_dir is not None
         self.caption_dropout_rate = caption_dropout_rate
+        # drop ALL conditioning (prompt AND control context) for cfg-style
+        # regularization (reference init_args prompt_image_dropout_rate)
+        self.prompt_image_dropout_rate = prompt_image_dropout_rate
         self.use_edit_mask = use_edit_mask
+        # 1-based control selection (reference selected_control_indexes)
+        self.selected_control_indexes = (list(selected_control_indexes)
+                                         if selected_control_indexes else None)
         self._rng = np.random.default_rng(seed)
         self.samples: list[dict] = []
 
@@ -153,6 +161,9 @@ class ImageDataset:
                 main = _first_existing(control_dir, stem)
                 if main:
                     controls = [main] + _collect_extra_controls(control_dir, stem)
+                if self.selected_control_indexes and controls:
+                    controls = [controls[i - 1] for i in self.selected_control_indexes
+                                if 0 < i <= len(controls)]
             self.samples.append({
                 "image": img_path,
                 "controls": controls,

@@ -20,6 +20,13 @@ def parse_args(argv=None):
     p.add_argument("--cache", action="store_true", help="run the embedding-cache pass")
     p.add_argument("--fit-no-cache", action="store_true",
                    help="train without the embedding cache")
+    p.add_argument("--predict", action="store_true",
+                   help="run inference on --image/--prompt and write --output")
+    p.add_argument("--image", action="append", default=None,
+                   help="control image path(s) for --predict")
+    p.add_argument("--prompt", default=None, help="edit instruction for --predict")
+    p.add_argument("--output", default="prediction.png", help="output image path")
+    p.add_argument("--steps", type=int, default=None, help="inference steps")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
     return p.parse_args(argv)
@@ -52,6 +59,24 @@ def main(argv=None):
         config.mode = RunMode.fit
         config.cache.use_cache = False
         config.data.init_args.pop("use_cache", None)
+    if args.predict:
+        config.mode = RunMode.predict
+
+    if config.mode == RunMode.predict:
+        # inference: no dataset needed (reference predict path,
+        # base_trainer.py:724-753)
+        import numpy as np
+        from PIL import Image
+
+        if not args.image or args.prompt is None:
+            raise SystemExit("--predict requires --image (repeatable) and --prompt")
+        trainer = Trainer(config)
+        controls = [np.asarray(Image.open(p).convert("RGB")) for p in args.image]
+        imgs = trainer.predict(controls, args.prompt,
+                               num_inference_steps=args.steps)
+        Image.fromarray(imgs[0]).save(args.output)
+        logging.info("wrote %s", args.output)
+        return
 
     processor = ImageProcessor(config.data.processor)
     init_args = dict(config.data.init_args)

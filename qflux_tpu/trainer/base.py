@@ -433,6 +433,12 @@ class Trainer:
         """Full predict path on raw images (reference base_trainer.py:724-753)."""
         if self.adapter is None:
             self.load_model()
+        if self.state is None and self.config.model.lora.pretrained_weight:
+            # standalone inference with a trained LoRA (reference setup_predict,
+            # base_trainer.py:691-714)
+            lora = self.build_lora()
+            opt = self.build_optimizer()
+            self.state = TrainState.create(lora, opt)
         imgs = images if isinstance(images, list) else [images]
         imgs = [np.asarray(im) for im in imgs]
         proc = self.config.data.processor
