@@ -178,13 +178,15 @@ def _heads(x, n_heads):
 
 
 def _apply_rope_heads(x, cos, sin):
-    """x [B,S,H,D]; cos/sin [S,D] or [B,S,D]."""
+    """x [B,S,H,D]; cos/sin [S,D] or [B,S,D] in rotate-half layout (pairs
+    (j, j+D/2) — lane-aligned on TPU; q/k weights are permuted to this layout
+    at port time, ops/rope.py:interleaved_to_half_perm)."""
     if cos.ndim == 2:
         cos, sin = cos[None, :, None, :], sin[None, :, None, :]
     else:
         cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    x2 = x.reshape(x.shape[:-1] + (-1, 2))
-    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    h = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 

@@ -19,6 +19,31 @@ from typing import Callable, Mapping
 
 import numpy as np
 
+from qflux_tpu.ops.rope import interleaved_to_half_perm
+
+
+def _qk_out_perm(out_dim: int, head_dim: int) -> np.ndarray:
+    """Expand the per-head interleaved→rotate-half channel permutation to a
+    full projection output dim (ours[..., j] = torch[..., perm[j]])."""
+    perm = interleaved_to_half_perm(head_dim)
+    return (np.arange(out_dim).reshape(-1, head_dim)[:, perm]).reshape(-1)
+
+
+def _permute_qk(p: dict, head_dim: int) -> dict:
+    """Permute a q/k projection param dict (kernel [..., in, out], bias [out])
+    to the rotate-half head layout used by our DiTs (ops/rope.py)."""
+    out = dict(p)
+    idx = _qk_out_perm(p["kernel"].shape[-1], head_dim)
+    out["kernel"] = np.ascontiguousarray(p["kernel"][..., idx])
+    if "bias" in p:
+        out["bias"] = np.ascontiguousarray(p["bias"][..., idx])
+    return out
+
+
+def _permute_qk_scale(p: dict, head_dim: int) -> dict:
+    perm = interleaved_to_half_perm(head_dim)
+    return {"scale": np.ascontiguousarray(p["scale"][..., perm])}
+
 
 def load_safetensors(path: str) -> dict[str, np.ndarray]:
     from safetensors import safe_open
@@ -72,7 +97,11 @@ def _stack(trees: list) -> dict:
 # reference models/transformer_flux.py:557-680)
 
 def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
-                             num_single_layers=38, dtype=np.float32) -> dict:
+                             num_single_layers=38, dtype=np.float32,
+                             head_dim=128) -> dict:
+    """NOTE: q/k projections and their RMS-norm scales are permuted to the
+    rotate-half rope layout (attention outputs are invariant; see
+    ops/rope.py:interleaved_to_half_perm)."""
     p = {
         "x_embedder": _lin(sd, "x_embedder", dtype),
         "context_embedder": _lin(sd, "context_embedder", dtype),
@@ -95,18 +124,18 @@ def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
             "img_mod": {"proj": _lin(sd, f"{b}.norm1.linear", dtype)},
             "txt_mod": {"proj": _lin(sd, f"{b}.norm1_context.linear", dtype)},
             "attn": {
-                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
-                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_q": _permute_qk(_lin(sd, f"{b}.attn.to_q", dtype), head_dim),
+                "to_k": _permute_qk(_lin(sd, f"{b}.attn.to_k", dtype), head_dim),
                 "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
                 "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
-                "add_q": _lin(sd, f"{b}.attn.add_q_proj", dtype),
-                "add_k": _lin(sd, f"{b}.attn.add_k_proj", dtype),
+                "add_q": _permute_qk(_lin(sd, f"{b}.attn.add_q_proj", dtype), head_dim),
+                "add_k": _permute_qk(_lin(sd, f"{b}.attn.add_k_proj", dtype), head_dim),
                 "add_v": _lin(sd, f"{b}.attn.add_v_proj", dtype),
                 "add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
-                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
-                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
-                "norm_added_q": _scale(sd, f"{b}.attn.norm_added_q", dtype),
-                "norm_added_k": _scale(sd, f"{b}.attn.norm_added_k", dtype),
+                "norm_q": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_q", dtype), head_dim),
+                "norm_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_k", dtype), head_dim),
+                "norm_added_q": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_added_q", dtype), head_dim),
+                "norm_added_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_added_k", dtype), head_dim),
             },
             "img_mlp": {"in": _lin(sd, f"{b}.ff.net.0.proj", dtype),
                         "out": _lin(sd, f"{b}.ff.net.2", dtype)},
@@ -119,11 +148,11 @@ def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
         singles.append({
             "mod": {"proj": _lin(sd, f"{b}.norm.linear", dtype)},
             "attn": {
-                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
-                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_q": _permute_qk(_lin(sd, f"{b}.attn.to_q", dtype), head_dim),
+                "to_k": _permute_qk(_lin(sd, f"{b}.attn.to_k", dtype), head_dim),
                 "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
-                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
-                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
+                "norm_q": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_q", dtype), head_dim),
+                "norm_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_k", dtype), head_dim),
             },
             "proj_mlp": _lin(sd, f"{b}.proj_mlp", dtype),
             "proj_out": _lin(sd, f"{b}.proj_out", dtype),

@@ -7,7 +7,7 @@ from typing import Mapping
 
 import numpy as np
 
-from qflux_tpu.models.porting import _lin, _lin_nobias, _scale, _stack
+from qflux_tpu.models.porting import (_lin, _lin_nobias, _permute_qk, _permute_qk_scale, _scale, _stack)
 
 
 def _detect_prefix(sd: Mapping[str, np.ndarray], candidates: list[str]) -> str:
@@ -79,7 +79,9 @@ def convert_vl_text(sd: Mapping[str, np.ndarray], num_layers: int,
 # reference models/transformer_qwenimage.py:497-570)
 
 def convert_qwen_image_transformer(sd: Mapping[str, np.ndarray], num_layers=60,
-                                   dtype=np.float32) -> dict:
+                                   dtype=np.float32, head_dim=128) -> dict:
+    """q/k projections + norms permuted to the rotate-half rope layout
+    (ops/rope.py:interleaved_to_half_perm; attention outputs invariant)."""
     p = {
         "img_in": _lin(sd, "img_in", dtype),
         "txt_in": _lin(sd, "txt_in", dtype),
@@ -96,18 +98,18 @@ def convert_qwen_image_transformer(sd: Mapping[str, np.ndarray], num_layers=60,
             "img_mod": {"proj": _lin(sd, f"{b}.img_mod.1", dtype)},
             "txt_mod": {"proj": _lin(sd, f"{b}.txt_mod.1", dtype)},
             "attn": {
-                "to_q": _lin(sd, f"{b}.attn.to_q", dtype),
-                "to_k": _lin(sd, f"{b}.attn.to_k", dtype),
+                "to_q": _permute_qk(_lin(sd, f"{b}.attn.to_q", dtype), head_dim),
+                "to_k": _permute_qk(_lin(sd, f"{b}.attn.to_k", dtype), head_dim),
                 "to_v": _lin(sd, f"{b}.attn.to_v", dtype),
                 "to_out": _lin(sd, f"{b}.attn.to_out.0", dtype),
-                "add_q": _lin(sd, f"{b}.attn.add_q_proj", dtype),
-                "add_k": _lin(sd, f"{b}.attn.add_k_proj", dtype),
+                "add_q": _permute_qk(_lin(sd, f"{b}.attn.add_q_proj", dtype), head_dim),
+                "add_k": _permute_qk(_lin(sd, f"{b}.attn.add_k_proj", dtype), head_dim),
                 "add_v": _lin(sd, f"{b}.attn.add_v_proj", dtype),
                 "add_out": _lin(sd, f"{b}.attn.to_add_out", dtype),
-                "norm_q": _scale(sd, f"{b}.attn.norm_q", dtype),
-                "norm_k": _scale(sd, f"{b}.attn.norm_k", dtype),
-                "norm_added_q": _scale(sd, f"{b}.attn.norm_added_q", dtype),
-                "norm_added_k": _scale(sd, f"{b}.attn.norm_added_k", dtype),
+                "norm_q": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_q", dtype), head_dim),
+                "norm_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_k", dtype), head_dim),
+                "norm_added_q": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_added_q", dtype), head_dim),
+                "norm_added_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_added_k", dtype), head_dim),
             },
             "img_mlp": {"in": _lin(sd, f"{b}.img_mlp.net.0.proj", dtype),
                         "out": _lin(sd, f"{b}.img_mlp.net.2", dtype)},

@@ -134,12 +134,13 @@ def _heads(x, n):
 
 
 def _rope_apply(x, cos, sin):
+    """Rotate-half layout (see ops/rope.py) — q/k weights permuted at port."""
     if cos.ndim == 2:
         cos, sin = cos[None, :, None, :], sin[None, :, None, :]
     else:
         cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    x2 = x.reshape(x.shape[:-1] + (-1, 2))
-    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    h = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 

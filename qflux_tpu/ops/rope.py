@@ -29,9 +29,19 @@ import numpy as np
 
 
 def rope_from_coords(coords: jax.Array, axes_dim: tuple[int, ...],
-                     theta: float = 10000.0) -> tuple[jax.Array, jax.Array]:
+                     theta: float = 10000.0, layout: str = "half"
+                     ) -> tuple[jax.Array, jax.Array]:
     """coords [..., n_axes] (float or int, may be negative) → (cos, sin) each
-    [..., sum(axes_dim)] in float32."""
+    [..., sum(axes_dim)] in float32.
+
+    layout="half" (default, TPU-native): rotation pairs are (j, j+D/2) —
+    aligned half-slices the VPU handles at full bandwidth.  Model q/k
+    projection weights are PERMUTED to this layout at port time
+    (`interleaved_to_half_perm`); attention outputs are invariant.
+    layout="interleaved": the torch/diffusers adjacent-pair convention
+    ([c0,c0,c1,c1,…]) — lane-strided on TPU (≈11% of a DiT forward); kept for
+    parity tests.
+    """
     cos_parts, sin_parts = [], []
     for i, d in enumerate(axes_dim):
         pos = coords[..., i].astype(jnp.float32)
@@ -39,16 +49,38 @@ def rope_from_coords(coords: jax.Array, axes_dim: tuple[int, ...],
         freqs = pos[..., None] * inv  # [..., d/2]
         cos = jnp.cos(freqs)
         sin = jnp.sin(freqs)
-        # repeat-interleave ×2: [c0,c0,c1,c1,...]
-        cos_parts.append(jnp.repeat(cos, 2, axis=-1))
-        sin_parts.append(jnp.repeat(sin, 2, axis=-1))
-    return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
+        if layout == "interleaved":
+            cos = jnp.repeat(cos, 2, axis=-1)
+            sin = jnp.repeat(sin, 2, axis=-1)
+        cos_parts.append(cos)
+        sin_parts.append(sin)
+    cos = jnp.concatenate(cos_parts, axis=-1)
+    sin = jnp.concatenate(sin_parts, axis=-1)
+    if layout == "half":
+        cos = jnp.concatenate([cos, cos], axis=-1)
+        sin = jnp.concatenate([sin, sin], axis=-1)
+    return cos, sin
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+def interleaved_to_half_perm(d: int) -> np.ndarray:
+    """Channel permutation taking torch interleaved-pair rope layout to the
+    rotate-half layout: even indices first, then odd. ours[j] = torch[perm[j]]."""
+    return np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+
+
+def half_to_interleaved_perm(d: int) -> np.ndarray:
+    return np.argsort(interleaved_to_half_perm(d))
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               layout: str = "half") -> jax.Array:
     """x [..., S, D] rotated by (cos, sin) [S, D] or [..., S, D] (broadcast)."""
-    x2 = x.reshape(x.shape[:-1] + (-1, 2))
-    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    if layout == "half":
+        h = x.shape[-1] // 2
+        rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+    else:
+        x2 = x.reshape(x.shape[:-1] + (-1, 2))
+        rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 

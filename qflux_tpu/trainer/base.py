@@ -155,7 +155,8 @@ class Trainer:
         lcfg = self.config.model.lora
         if lcfg.pretrained_weight:
             tree = load_lora_safetensors(lcfg.pretrained_weight,
-                                         self.adapter.lora_tree_path_fn)
+                                         self.adapter.lora_tree_path_fn,
+                                         head_dim=self.bundle.dit_cfg.attention_head_dim)
             lora = jax.tree.map(jnp.asarray, tree)
         else:
             targets = lcfg.target_modules or list(self.adapter.default_lora_targets)
@@ -340,7 +341,8 @@ class Trainer:
         ckpt_dir = self.output_dir / name
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         lora_host = jax.tree.map(np.asarray, self.state.lora)
-        save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn)
+        save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn,
+                              head_dim=self.bundle.dit_cfg.attention_head_dim)
         np.savez(ckpt_dir / "optimizer_state.npz", **{
             "/".join(map(str, path)): np.asarray(leaf)
             for path, leaf in _flatten_with_paths(self.state.opt_state)})

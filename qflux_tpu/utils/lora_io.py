@@ -21,6 +21,18 @@ from typing import Callable, Mapping
 
 import numpy as np
 
+from qflux_tpu.ops.rope import half_to_interleaved_perm, interleaved_to_half_perm
+
+# q/k projection outputs live in the rotate-half rope layout inside our param
+# trees (ops/rope.py); diffusers/PEFT checkpoints use the interleaved layout,
+# so LoRA B matrices for these modules are permuted on import/export.
+QK_PROJ_NAMES = {"to_q", "to_k", "add_q", "add_k"}
+
+
+def _expand_perm(out_dim: int, perm: np.ndarray) -> np.ndarray:
+    head_dim = len(perm)
+    return (np.arange(out_dim).reshape(-1, head_dim)[:, perm]).reshape(-1)
+
 LORA_FILE_BASE_NAME = "pytorch_lora_weights.safetensors"  # reference trainer/constants.py:1
 
 
@@ -108,13 +120,17 @@ def _iter_lora_nodes(tree: dict, prefix: tuple[str, ...] = ()):
 # export
 
 def export_lora(lora_tree: dict, module_name_fn: Callable = flux_module_name,
-                prefix: str = "transformer") -> dict[str, np.ndarray]:
-    """Our lora tree → diffusers-format flat dict (numpy, float32)."""
+                prefix: str = "transformer", head_dim: int = 128) -> dict[str, np.ndarray]:
+    """Our lora tree → diffusers-format flat dict (numpy, float32).
+
+    q/k-projection B matrices are un-permuted back to the torch interleaved
+    rope layout so exported checkpoints load in the reference stack."""
     flat: dict[str, np.ndarray] = {}
     for path, node in _iter_lora_nodes(lora_tree):
         a = np.asarray(node["a"], np.float32)
         b = np.asarray(node["b"], np.float32)
         scaling = np.asarray(node.get("scaling", 1.0), np.float32)
+        is_qk = path[-1] in QK_PROJ_NAMES
         stacked = a.ndim == 3
         layers = range(a.shape[0]) if stacked else [None]
         for li in layers:
@@ -123,6 +139,9 @@ def export_lora(lora_tree: dict, module_name_fn: Callable = flux_module_name,
                 raise ValueError(f"no module mapping for lora path {path}")
             ai = a[li] if stacked else a          # [in, r]
             bi = b[li] if stacked else b          # [r, out]
+            if is_qk and bi.shape[1] % head_dim == 0:
+                inv = _expand_perm(bi.shape[1], half_to_interleaved_perm(head_dim))
+                bi = bi[:, inv]
             rank = ai.shape[1]
             sc = float(scaling[li] if scaling.ndim else scaling)
             flat[f"{prefix}.{mod}.lora_A.weight"] = np.ascontiguousarray(ai.T)  # [r, in]
@@ -133,14 +152,14 @@ def export_lora(lora_tree: dict, module_name_fn: Callable = flux_module_name,
 
 def save_lora_safetensors(lora_tree: dict, path: str | Path,
                           module_name_fn: Callable = flux_module_name,
-                          prefix: str = "transformer") -> Path:
+                          prefix: str = "transformer", head_dim: int = 128) -> Path:
     from safetensors.numpy import save_file
 
     path = Path(path)
     if path.is_dir():
         path = path / LORA_FILE_BASE_NAME
     path.parent.mkdir(parents=True, exist_ok=True)
-    save_file(export_lora(lora_tree, module_name_fn, prefix), str(path),
+    save_file(export_lora(lora_tree, module_name_fn, prefix, head_dim), str(path),
               metadata={"format": "qflux_tpu.diffusers"})
     return path
 
@@ -150,7 +169,7 @@ def save_lora_safetensors(lora_tree: dict, path: str | Path,
 
 def import_lora(sd: Mapping[str, np.ndarray],
                 tree_path_fn: Callable = flux_tree_path,
-                dtype=np.float32) -> dict:
+                dtype=np.float32, head_dim: int = 128) -> dict:
     """diffusers/PEFT flat dict → our lora tree (stacking per-layer entries)."""
     fmt = classify_lora_weight(sd)
     strip = "base_model.model." if fmt == "peft" else None
@@ -186,6 +205,12 @@ def import_lora(sd: Mapping[str, np.ndarray],
 
     tree: dict = {}
     for path, by_layer in grouped.items():
+        if path[-1] in QK_PROJ_NAMES:
+            for node in by_layer.values():
+                if node["b"].shape[1] % head_dim == 0:
+                    idx = _expand_perm(node["b"].shape[1],
+                                       interleaved_to_half_perm(head_dim))
+                    node["b"] = np.ascontiguousarray(node["b"][:, idx])
         if None in by_layer:
             node = by_layer[None]
             leaf = {"a": node["a"], "b": node["b"], "scaling": node["scaling"]}
@@ -206,10 +231,11 @@ def import_lora(sd: Mapping[str, np.ndarray],
 
 
 def load_lora_safetensors(path: str | Path,
-                          tree_path_fn: Callable = flux_tree_path) -> dict:
+                          tree_path_fn: Callable = flux_tree_path,
+                          head_dim: int = 128) -> dict:
     from qflux_tpu.models.porting import load_safetensors
 
     path = Path(path)
     if path.is_dir():
         path = path / LORA_FILE_BASE_NAME
-    return import_lora(load_safetensors(str(path)), tree_path_fn)
+    return import_lora(load_safetensors(str(path)), tree_path_fn, head_dim=head_dim)

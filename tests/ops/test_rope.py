@@ -26,7 +26,7 @@ def _torch_rope_oracle(pos: np.ndarray, dim: int, theta: float = 10000.0):
 def test_rope_matches_diffusers_convention():
     pos = np.array([0.0, 1.0, 5.0, -3.0, 100.0], dtype=np.float32)
     coords = jnp.asarray(pos)[:, None]
-    cos, sin = rope_from_coords(coords, (16,))
+    cos, sin = rope_from_coords(coords, (16,), layout="interleaved")
     ocos, osin = _torch_rope_oracle(pos, 16)
     np.testing.assert_allclose(np.asarray(cos), ocos, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sin), osin, atol=1e-5)
@@ -34,11 +34,16 @@ def test_rope_matches_diffusers_convention():
 
 def test_rope_multi_axis_concat():
     coords = jnp.asarray(np.random.default_rng(0).normal(size=(7, 3)).astype(np.float32) * 10)
-    cos, sin = rope_from_coords(coords, (16, 56, 56))
+    cos, sin = rope_from_coords(coords, (16, 56, 56), layout="interleaved")
     assert cos.shape == (7, 128)
     # each axis segment equals single-axis computation
-    c0, _ = rope_from_coords(coords[:, :1], (16,))
+    c0, _ = rope_from_coords(coords[:, :1], (16,), layout="interleaved")
     np.testing.assert_allclose(np.asarray(cos[:, :16]), np.asarray(c0), atol=1e-6)
+    # half layout: same values, permuted
+    from qflux_tpu.ops.rope import interleaved_to_half_perm
+    ch, _ = rope_from_coords(coords, (16, 56, 56), layout="half")
+    np.testing.assert_allclose(np.asarray(cos)[:, interleaved_to_half_perm(128)],
+                               np.asarray(ch), atol=1e-6)
 
 
 def test_apply_rope_is_norm_preserving_and_relative():
