@@ -294,8 +294,9 @@ def forward(
     single_fn = lambda x, p: (_single_block(p, cfg, x, temb, cos, sin, segment_ids,
                                             attn_impl), None)
     if remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat_policy == "dots" else None)
+        policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                  "dots_all": jax.checkpoint_policies.dots_saveable,
+                  "full": None}[remat_policy]
         dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
         single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)
 

@@ -208,6 +208,7 @@ def forward(
     rope: Optional[tuple] = None,       # precomputed (vid_cos, vid_sin, txt_cos, txt_sin)
     attn_impl: str = "auto",
     remat: bool = True,
+    remat_policy: str = "full",
 ) -> jax.Array:
     """Returns [B, S_img, patch²·out_channels] over the full image stream."""
     img = dense(params["img_in"], hidden_states)
@@ -230,7 +231,10 @@ def forward(
         return (i, t), None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                  "dots_all": jax.checkpoint_policies.dots_saveable,
+                  "full": None}[remat_policy]
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
 
     from qflux_tpu.ops.norms import ada_ln_mods, modulate

@@ -71,6 +71,7 @@ class Flux2KleinAdapter:
     cfg: flux.FluxConfig
     attn_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "dots"
     vae_scale: int = 8
     hidden_states_layers: tuple[int, ...] = (9, 18, 27)
 
@@ -271,6 +272,7 @@ class Flux2KleinAdapter:
             guidance=guidance,
             segment_ids=batch.get("segment_ids"),
             attn_impl=self.attn_impl, remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         return pred[:, :s_img]
 

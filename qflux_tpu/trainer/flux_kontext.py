@@ -84,7 +84,7 @@ class FluxKontextAdapter:
     cfg: flux.FluxConfig
     attn_impl: str = "auto"
     remat: bool = True
-    remat_policy: str = "full"
+    remat_policy: str = "dots"
     vae_scale: int = 8
 
     # -- identity used by the Trainer ---------------------------------------

@@ -85,6 +85,7 @@ class QwenImageEditAdapter:
     cfg: qwen_dit.QwenImageConfig
     attn_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "dots"
     vae_scale: int = 8
     template: str = EDIT_TEMPLATE
     drop_idx: int = EDIT_DROP_IDX
@@ -444,6 +445,7 @@ class QwenImageEditAdapter:
             segment_ids=seg,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         return pred[:, :s_img]
 
