@@ -147,6 +147,12 @@ def make_train_step(
             scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        # "scaling" leaves (alpha/r) are constants, not trainable params —
+        # zero their updates so AdamW weight decay can't drift them
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: jnp.zeros_like(u)
+            if any(getattr(k, "key", None) == "scaling" for k in path) else u,
+            updates)
         lora = optax.apply_updates(state.lora, updates)
         new_state = TrainState(lora=_replicate(lora), opt_state=_replicate(opt_state),
                                step=state.step + 1)
