@@ -1,17 +1,19 @@
-"""Benchmark: LoRA flow-match train-step throughput on the FLUX-Kontext stack.
+"""Benchmark: LoRA flow-match train-step throughput, REAL full-size model.
 
-Workload mirrors the reference's headline number (FLUX-Kontext BF16 LoRA at
-512² with cached embeddings — 1.7 FPS aggregate on 2×RTX4090 FSDP, reference
-docs/changelog/v3.0.2.md:46-49, BASELINE.md): packed 32×32 target + 32×32
-control + 512 text tokens, LoRA rank 16 on all attention projections,
-bf16 weights, remat, one chip.
+Workload mirrors the reference's headline number (FLUX-Kontext LoRA at 512²
+with cached embeddings — 1.7 img/s aggregate on 2×RTX4090 FSDP = 0.85/chip,
+reference docs/changelog/v3.0.2.md:46-49, BASELINE.md): the full 19+38-layer
+(12B) FLUX MMDiT, packed 32×32 target + 32×32 control + 512 text tokens,
+rank-16 LoRA on all attention projections, bf16 activations, full remat.
 
-A single v5e/v5p chip cannot hold the full 12B bf16 base weights next to
-activations, so we run the bench-width model (identical 3072-wide blocks,
-4 dual + 8 single layers) and extrapolate per the analytic matmul-FLOPs ratio
-— every block is the same shape, so the scaling is exact to first order.
+The 12B base rides as int8 weight-only (ops/quant.py) so it fits one 16 GB
+v5e chip — the TPU-native analogue of the reference's quantized-base rows
+(its FP4 DDP config reaches 0.4 img/s aggregate on 2×4090).  Weights are
+synthesized on-device (timing is value-independent; the tunnel makes real
+12 GB uploads impractical in a benchmark).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline compares against the reference's 0.85 img/s per chip.
 """
 
 from __future__ import annotations
@@ -25,7 +27,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_FPS = 1.7  # reference aggregate FPS (2 GPUs); see BASELINE.md
+BASELINE_FPS_PER_CHIP = 0.85  # 1.7 aggregate / 2 GPUs; see BASELINE.md
+
+
+def _synthetic_int8_params(cfg):
+    """Full-model param tree with int8-quantized kernels, built on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.flux import transformer as flux
+
+    shapes = jax.eval_shape(lambda k: flux.init(k, cfg, dtype=jnp.bfloat16),
+                            jax.random.PRNGKey(0))
+
+    def build(node):
+        if isinstance(node, dict):
+            if "kernel" in node and not isinstance(node["kernel"], dict):
+                k = node["kernel"]
+                if k.ndim >= 2:
+                    out = {kk: jnp.zeros(v.shape, jnp.bfloat16)
+                           for kk, v in node.items() if kk != "kernel"}
+                    out["kernel_q"] = jnp.ones(k.shape, jnp.int8)
+                    out["kernel_scale"] = jnp.full(k.shape[:-2] + (1, k.shape[-1]),
+                                                   1e-2, jnp.float32)
+                    return out
+            return {kk: build(v) for kk, v in node.items()}
+        return jnp.zeros(node.shape, jnp.bfloat16)
+
+    return build(shapes)
 
 
 def main():
@@ -41,20 +70,23 @@ def main():
     from __graft_entry__ import _flux_inputs
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = flux.FluxConfig.bench() if on_tpu else flux.FluxConfig.tiny()
-    full_cfg = flux.FluxConfig()
+    if on_tpu:
+        cfg = flux.FluxConfig()            # the REAL 19+38-layer model
+        params = _synthetic_int8_params(cfg)
+        batch_size, grid, txt_len, n_iters = 1, 32, 512, 12
+        remat_policy = "full"              # int8 base + full remat fits 16 GB
+    else:
+        cfg = flux.FluxConfig.tiny()
+        params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        batch_size, grid, txt_len, n_iters = 2, 8, 32, 3
+        remat_policy = "dots"
 
-    batch_size = 2  # reference benchmarks use bs=2
-    grid = 32 if on_tpu else 8
-    txt_len = 512 if on_tpu else 32
-
-    params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     lora = build_lora_tree(
         jax.random.PRNGKey(1), params,
         [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
         rank=16, alpha=16, dtype=jnp.bfloat16)
     adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True,
-                                 remat_policy="dots")
+                                 remat_policy=remat_policy)
     opt = optax.adamw(1e-4)
     step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
     state = TrainState.create(lora, opt)
@@ -63,41 +95,35 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # warmup/compile.  NOTE: on the axon TPU tunnel, block_until_ready does
-    # NOT actually block — only a value fetch forces completion, so all
-    # timing uses float() on the scalar loss (≈26 ms fixed fetch overhead,
+    # NOT actually block — timing forces a scalar fetch (≈26 ms overhead,
     # amortized over the timed iterations).
+    t_compile = time.perf_counter()
     state, m = step(state, params, batch, rng)
     _ = float(m["loss"])
+    compile_s = time.perf_counter() - t_compile
 
-    n_iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = step(state, params, batch, rng)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
-    s_img = grid * grid
-    s_txt = txt_len
-    # joint sequence includes the control tokens
-    bench_flops = cfg.matmul_flops(2 * s_img, s_txt)
-    full_flops = full_cfg.matmul_flops(2 * 32 * 32, 512)
-    est_full_dt = dt * (full_flops / bench_flops)
-    fps_bench = batch_size / dt
-    fps_full_est = batch_size / est_full_dt
+    fps = batch_size / dt
+    # train FLOPs ≈ 3× fwd (dx chains + remat recompute); v5e peak 197 TFLOPs
+    train_flops = 3.0 * cfg.matmul_flops(2 * grid * grid, txt_len) * batch_size
+    mfu = train_flops / dt / 197e12 if on_tpu else float("nan")
 
-    # rough MFU: train ≈ fwd×2 (dx chain, no frozen dW) + fwd (remat) ≈ 3× fwd
-    train_flops = 3.0 * bench_flops * batch_size
-    peak = 197e12 if on_tpu else float("nan")  # v5e bf16 peak
-    mfu = train_flops / dt / peak if on_tpu else float("nan")
-
+    metric = ("flux_kontext_512_lora_train_fps_per_chip(full 19+38 model, int8 base)"
+              if on_tpu else "flux_kontext_tiny_smoke_fps(cpu fallback — not comparable)")
     print(json.dumps({
-        "metric": "flux_kontext_512_lora_train_fps_per_chip(full-model est)",
-        "value": round(fps_full_est, 4),
+        "metric": metric,
+        "value": round(fps, 4),
         "unit": "img/s",
-        "vs_baseline": round(fps_full_est / BASELINE_FPS, 4),
-        "bench_model_fps": round(fps_bench, 4),
-        "step_ms_bench_model": round(dt * 1e3, 2),
+        "vs_baseline": round(fps / BASELINE_FPS_PER_CHIP, 4),
+        "step_ms": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
         "mfu_est": round(mfu, 4) if np.isfinite(mfu) else None,
+        "note": "reference baseline 0.85 img/s/chip (1.7 aggregate on 2xRTX4090 bf16-FSDP)",
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))
