@@ -460,6 +460,11 @@ class Trainer:
         emb = self.adapter.prepare_embeddings(self.bundle, batch,
                                               self.config.predict.max_sequence_length)
         emb.pop("image_latents", None)
+        if (self.config.predict.true_cfg_scale > 1.0
+                and hasattr(self.adapter, "negative_embeddings")):
+            emb.update(self.adapter.negative_embeddings(
+                self.bundle, kw.pop("negative_prompt", " "), batch,
+                self.config.predict.max_sequence_length))
         return self.predict_from_embeddings(emb, height, width, **kw)
 
     def run_validation(self):

@@ -257,6 +257,13 @@ class Flux2KleinAdapter:
         }
         return arrays, hash_keys
 
+    def negative_embeddings(self, bundle: ModelBundle, negative_prompt: str,
+                            batch: dict, max_sequence_length: int = 512) -> dict:
+        b = len(batch["prompt"]) if "prompt" in batch else 1
+        pe, pooled, _ = self.encode_prompt(bundle, [negative_prompt] * b,
+                                           max_sequence_length)
+        return {"neg_prompt_embeds": pe, "neg_pooled_prompt_embeds": pooled}
+
     def predict_velocity(self, params, batch, latents, sigma):
         ctrl = batch["control_latents"].astype(latents.dtype)
         inp = jnp.concatenate([latents, ctrl], axis=1)

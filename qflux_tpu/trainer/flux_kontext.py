@@ -323,6 +323,16 @@ class FluxKontextAdapter:
                 emb["txt_ids"] = jnp.asarray(txt)
         return emb
 
+    def negative_embeddings(self, bundle: ModelBundle, negative_prompt: str,
+                            batch: dict, max_sequence_length: int = 512) -> dict:
+        """neg_*-prefixed embeddings for true-CFG sampling (reference
+        sampling_from_embeddings negative branch,
+        flux_kontext_trainer.py:963-975)."""
+        b = len(batch["prompt"]) if "prompt" in batch else int(np.shape(batch["prompt_embeds"])[0])
+        pe, pooled, _ = self.encode_prompt(bundle, [negative_prompt] * b,
+                                           max_sequence_length)
+        return {"neg_prompt_embeds": pe, "neg_pooled_prompt_embeds": pooled}
+
     # ======================================================================
     # model forward
 

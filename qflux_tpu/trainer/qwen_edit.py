@@ -419,6 +419,19 @@ class QwenImageEditAdapter:
         }
         return arrays, hash_keys
 
+    def negative_embeddings(self, bundle: ModelBundle, negative_prompt: str,
+                            batch: dict, max_sequence_length: int = 1024) -> dict:
+        """Negative embeds keep the control-image context (reference passes
+        the same images with the negative text, qwen_image_edit_trainer.py:
+        1180-1199)."""
+        ctl_keys = [k for k in ("control",) if k in batch]
+        ctl_keys += sorted(k for k in batch if k.startswith("control_") and k != "control")
+        b = int(np.shape(batch[ctl_keys[0]])[0]) if ctl_keys else 1
+        vl_images = [[np.asarray(batch[k][i]) for k in ctl_keys] for i in range(b)]
+        pe, pm = self.encode_prompt(bundle, [negative_prompt] * b, vl_images,
+                                    max_sequence_length)
+        return {"neg_prompt_embeds": pe, "neg_prompt_embeds_mask": pm}
+
     # ======================================================================
     # model forward
 
