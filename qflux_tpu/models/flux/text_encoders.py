@@ -215,3 +215,10 @@ def t5_encode(params, cfg: T5Config, input_ids: jax.Array,
         x = x + dense(lp["ff"]["wo"], gelu * dense(lp["ff"]["wi_1"], h))
 
     return _t5_ln(params["final_layer_norm"], x, cfg.layer_norm_eps)
+
+
+# jitted entry points
+import functools as _functools
+
+clip_encode_jit = _functools.partial(jax.jit, static_argnums=(1,))(clip_encode)
+t5_encode_jit = _functools.partial(jax.jit, static_argnums=(1,))(t5_encode)

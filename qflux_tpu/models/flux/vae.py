@@ -230,3 +230,10 @@ def decode(params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
             x = _conv(blk["upsample"], x)
     x = jax.nn.silu(_group_norm(dec["norm_out"], x, g))
     return _conv(dec["conv_out"], x)
+
+
+# jitted entry points (config is static; one compile per (config, shape))
+import functools as _functools
+
+encode_jit = _functools.partial(jax.jit, static_argnums=(1,))(encode)
+decode_jit = _functools.partial(jax.jit, static_argnums=(1,))(decode)

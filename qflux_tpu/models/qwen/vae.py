@@ -257,3 +257,10 @@ def decode(params, cfg: QwenVAEConfig, latents: jax.Array) -> jax.Array:
             x = _upsample(blk["up"], x)
     x = jax.nn.silu(_rms_norm_ch(dec["norm_out"], x))
     return _conv3d_t1(dec["conv_out"], x)
+
+
+# jitted entry points (config is static; one compile per (config, shape))
+import functools as _functools
+
+encode_jit = _functools.partial(jax.jit, static_argnums=(1,))(encode)
+decode_jit = _functools.partial(jax.jit, static_argnums=(1,))(decode)

@@ -329,20 +329,24 @@ def vision_forward(params, cfg: VLVisionConfig, patches: jax.Array,
 # ===========================================================================
 # text (LM) forward with M-RoPE
 
-def mrope_cos_sin(position_ids: np.ndarray, cfg: VLTextConfig):
+def mrope_cos_sin(position_ids, cfg: VLTextConfig):
     """position_ids [3, B, S] → (cos, sin) [B, S, head_dim] with the channel
-    dim split per mrope_section (t/h/w interleaved halves)."""
+    dim split per mrope_section (t/h/w interleaved halves).  Traceable (jnp)
+    so text_forward can be jitted."""
     hd = cfg.head_dim
-    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
-    freqs = position_ids[..., None].astype(np.float64) * inv  # [3, B, S, hd/2]
-    emb = np.concatenate([freqs, freqs], axis=-1)             # [3, B, S, hd]
-    cos3, sin3 = np.cos(emb), np.sin(emb)
-    sections = list(cfg.mrope_section) * 2
-    splits_c = np.split(cos3, np.cumsum(sections)[:-1], axis=-1)
-    splits_s = np.split(sin3, np.cumsum(sections)[:-1], axis=-1)
-    cos = np.concatenate([m[i % 3] for i, m in enumerate(splits_c)], axis=-1)
-    sin = np.concatenate([m[i % 3] for i, m in enumerate(splits_s)], axis=-1)
-    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+    inv = jnp.asarray(
+        1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd)),
+        jnp.float32)
+    pos = jnp.asarray(position_ids, jnp.float32)
+    freqs = pos[..., None] * inv                               # [3, B, S, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)             # [3, B, S, hd]
+    cos3, sin3 = jnp.cos(emb), jnp.sin(emb)
+    sections = np.cumsum(list(cfg.mrope_section) * 2)[:-1]
+    splits_c = jnp.split(cos3, sections, axis=-1)
+    splits_s = jnp.split(sin3, sections, axis=-1)
+    cos = jnp.concatenate([m[i % 3] for i, m in enumerate(splits_c)], axis=-1)
+    sin = jnp.concatenate([m[i % 3] for i, m in enumerate(splits_s)], axis=-1)
+    return cos, sin
 
 
 def text_forward(params, cfg: VLTextConfig, inputs_embeds: jax.Array,
@@ -422,3 +426,15 @@ def get_rope_index(input_ids: np.ndarray, grid_thw_per_image: list[tuple[int, in
         img_iter = local_img
         pos[:, bi, idxs] = out
     return pos
+
+
+# jitted entry points: cfg/grid static → one compile per shape bucket
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(1, 3))
+def vision_forward_jit(params, cfg, patches, grid_thw_tuple):
+    return vision_forward(params, cfg, patches, list(grid_thw_tuple))
+
+
+text_forward_jit = _functools.partial(jax.jit, static_argnums=(1,))(text_forward)

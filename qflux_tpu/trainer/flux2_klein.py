@@ -186,7 +186,7 @@ class Flux2KleinAdapter:
 
     def encode_vae_image(self, bundle: ModelBundle, images: np.ndarray) -> jax.Array:
         x = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
-        lat = flux_vae.encode(bundle.vae_params, bundle.vae_cfg, x)
+        lat = flux_vae.encode_jit(bundle.vae_params, bundle.vae_cfg, x)
         packed = pack_latents(lat)  # [B, T, 4C] — same channel order as patchify
         mean = jnp.asarray(bundle.text_cfgs["bn_mean"], packed.dtype)
         std = jnp.asarray(bundle.text_cfgs["bn_std"], packed.dtype)
@@ -290,6 +290,6 @@ class Flux2KleinAdapter:
         std = jnp.asarray(bundle.text_cfgs["bn_std"], packed.dtype)
         packed = packed * std + mean
         lat = unpack_latents(packed, gh * 2, gw * 2)
-        img = flux_vae.decode(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
+        img = flux_vae.decode_jit(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
         img = (jnp.clip(img, -1, 1) + 1) * 127.5
         return np.asarray(jnp.round(img)).astype(np.uint8)

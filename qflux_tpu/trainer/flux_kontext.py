@@ -35,9 +35,9 @@ from qflux_tpu.models.flux import vae as flux_vae
 from qflux_tpu.models.flux.text_encoders import (
     CLIPTextConfig,
     T5Config,
-    clip_encode,
+    clip_encode_jit,
     clip_init,
-    t5_encode,
+    t5_encode_jit,
     t5_init,
 )
 from qflux_tpu.ops.packing import pack_latents, pixel_to_latent_hw, unpack_latents
@@ -210,16 +210,16 @@ class FluxKontextAdapter:
             t5_ids = np.asarray(tok_t(prompts, padding="max_length", truncation=True,
                                       max_length=max_sequence_length,
                                       return_tensors="np")["input_ids"])
-        _, pooled = clip_encode(bundle.text_params["clip"], clip_cfg, jnp.asarray(clip_ids))
-        prompt_embeds = t5_encode(bundle.text_params["t5"], bundle.text_cfgs["t5"],
-                                  jnp.asarray(t5_ids))
+        _, pooled = clip_encode_jit(bundle.text_params["clip"], clip_cfg, jnp.asarray(clip_ids))
+        prompt_embeds = t5_encode_jit(bundle.text_params["t5"], bundle.text_cfgs["t5"],
+                                      jnp.asarray(t5_ids))
         txt_ids = jnp.asarray(flux_text_ids(prompt_embeds.shape[1]))
         return prompt_embeds, pooled, txt_ids
 
     def encode_vae_image(self, bundle: ModelBundle, images: np.ndarray) -> jax.Array:
         """uint8 NHWC [B,H,W,3] → packed latents [B, S, C*4]."""
         x = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
-        lat = flux_vae.encode(bundle.vae_params, bundle.vae_cfg, x)  # [B,h,w,C]
+        lat = flux_vae.encode_jit(bundle.vae_params, bundle.vae_cfg, x)  # [B,h,w,C]
         return pack_latents(lat)
 
     def latent_grid(self, height: int, width: int) -> tuple[int, int]:
@@ -368,6 +368,6 @@ class FluxKontextAdapter:
         flux_kontext_trainer.py:978-986)."""
         gh, gw = self.latent_grid(height, width)
         lat = unpack_latents(packed, gh * 2, gw * 2)
-        img = flux_vae.decode(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
+        img = flux_vae.decode_jit(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
         img = (jnp.clip(img, -1, 1) + 1) * 127.5
         return np.asarray(jnp.round(img)).astype(np.uint8)

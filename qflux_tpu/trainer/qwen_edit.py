@@ -240,9 +240,9 @@ class QwenImageEditAdapter:
         all_grids: list[tuple[int, int, int]] = []
         for i, (ids, patches_list, grids) in enumerate(per_sample):
             if patches_list:
-                vis = vl.vision_forward(
+                vis = vl.vision_forward_jit(
                     bundle.text_params["vision"], vcfg,
-                    jnp.asarray(np.concatenate(patches_list)), grids)
+                    jnp.asarray(np.concatenate(patches_list)), tuple(grids))
                 mask = input_ids[i] == toks.image_token_id
                 embeds = embeds.at[i, jnp.asarray(mask)].set(vis.astype(embeds.dtype))
             all_grids.extend(grids)
@@ -250,8 +250,9 @@ class QwenImageEditAdapter:
         grids_per_image = [g for (_, _, gs) in per_sample for g in gs]
         pos = vl.get_rope_index(input_ids, grids_per_image, vcfg.spatial_merge_size,
                                 toks, attention_mask=attn)
-        hidden = vl.text_forward(bundle.text_params["text"], tcfg, embeds, pos,
-                                 attention_mask=jnp.asarray(attn))
+        hidden = vl.text_forward_jit(bundle.text_params["text"], tcfg, embeds,
+                                     jnp.asarray(pos),
+                                     attention_mask=jnp.asarray(attn))
 
         # drop template prefix + per-sample re-pack (reference :983-993).
         # drop_idx=64 counts REAL-tokenizer template tokens; with the hash
@@ -283,7 +284,7 @@ class QwenImageEditAdapter:
 
     def encode_vae_image(self, bundle: ModelBundle, images: np.ndarray) -> jax.Array:
         x = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
-        lat = qwen_vae.encode(bundle.vae_params, bundle.vae_cfg, x)
+        lat = qwen_vae.encode_jit(bundle.vae_params, bundle.vae_cfg, x)
         return pack_latents(lat)
 
     def latent_grid(self, height: int, width: int) -> tuple[int, int]:
@@ -468,6 +469,6 @@ class QwenImageEditAdapter:
                        height: int, width: int) -> np.ndarray:
         gh, gw = self.latent_grid(height, width)
         lat = unpack_latents(packed, gh * 2, gw * 2)
-        img = qwen_vae.decode(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
+        img = qwen_vae.decode_jit(bundle.vae_params, bundle.vae_cfg, lat.astype(jnp.float32))
         img = (jnp.clip(img, -1, 1) + 1) * 127.5
         return np.asarray(jnp.round(img)).astype(np.uint8)
