@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -42,6 +43,19 @@ def main(argv=None):
         import jax
 
         jax.distributed.initialize()
+
+    # persistent XLA compilation cache: the full-model train step compiles in
+    # ~1 min cold; subsequent runs load from disk in seconds
+    import jax
+
+    cache_dir = os.environ.get("QFLUX_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/qflux_tpu/xla"))
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception as e:
+            logging.debug("compilation cache unavailable: %s", e)
 
     from qflux_tpu.config import RunMode, load_config_from_yaml
     from qflux_tpu.data.loader import DataLoader
