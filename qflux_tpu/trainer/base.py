@@ -467,6 +467,63 @@ class Trainer:
                 self.config.predict.max_sequence_length))
         return self.predict_from_embeddings(emb, height, width, **kw)
 
+    def predict_multires(self, items: list, num_inference_steps=None,
+                         seed=None) -> list:
+        """Mixed-size batched inference: one padded sampler call, per-sample
+        decode (the reference's multi-res sampling capability,
+        flux_kontext_trainer.py:1644-1828)."""
+        if self.adapter is None:
+            self.load_model()
+        if not hasattr(self.adapter, "prepare_multires_embeddings"):
+            raise NotImplementedError(
+                f"{type(self.adapter).__name__} has no multi-res predict path")
+        from qflux_tpu.data.preprocess import ImageProcessor
+
+        processor = ImageProcessor(self.config.data.processor)
+        prepped = []
+        for it in items:
+            controls = [processor.process_image(np.asarray(im), f"control_{i}")
+                        for i, im in enumerate(it.get("images", []))]
+            h = it.get("height") or controls[0].shape[0]
+            w = it.get("width") or controls[0].shape[1]
+            entry = {"image": np.zeros((h, w, 3), np.uint8), "prompt": it["prompt"]}
+            if controls:
+                entry["control"] = controls[0]
+                for i, cimg in enumerate(controls[1:], start=1):
+                    entry[f"control_{i}"] = cimg
+            prepped.append(entry)
+        emb = self.adapter.prepare_multires_embeddings(
+            self.bundle, prepped, self.config.predict.max_sequence_length)
+        grids = emb.pop("sample_grids")
+        emb.pop("attention_mask", None)
+        lat_template = emb.pop("image_latents")
+        pcfg = self.config.predict
+        steps = num_inference_steps or pcfg.num_inference_steps
+        s_max = lat_template.shape[1]
+        plan = self.scheduler.sampling_plan(steps, image_seq_len=s_max)
+        params = self.bundle.dit_params
+        if self.state is not None:
+            params = merge_lora(params, self.state.lora)
+        sampler = make_sampler(self.adapter.predict_velocity, SamplingConfig(
+            num_inference_steps=steps, true_cfg_scale=pcfg.true_cfg_scale))
+        dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
+        key = jax.random.PRNGKey(self.config.logging.sampling_seed if seed is None else seed)
+        lat0 = jax.random.normal(key, lat_template.shape, dtype)
+        emb_j = {k: (jnp.asarray(v).astype(dtype)
+                     if jnp.asarray(v).dtype in (jnp.float32, jnp.float16)
+                     and k not in ("segment_ids",) else jnp.asarray(v))
+                 for k, v in emb.items() if not isinstance(v, list)}
+        if "guidance" not in emb_j:
+            emb_j["guidance"] = jnp.full((len(items),), pcfg.guidance, dtype)
+        latents = sampler(params, emb_j, lat0, jnp.asarray(plan.sigmas))
+        outs = []
+        vae_scale2 = self.adapter.vae_scale * 2
+        for i, (gh, gw) in enumerate(grids):
+            lat_i = latents[i: i + 1, : gh * gw]
+            outs.append(self.adapter.decode_latents(
+                self.bundle, lat_i, gh * vae_scale2, gw * vae_scale2)[0])
+        return outs
+
     def run_validation(self):
         """In-training sampling on configured validation samples (reference
         trainer/validation.py:332-478, single-program version: the mesh IS the

@@ -323,6 +323,67 @@ class FluxKontextAdapter:
                 emb["txt_ids"] = jnp.asarray(txt)
         return emb
 
+    def prepare_multires_embeddings(self, bundle: ModelBundle,
+                                    items: list[dict],
+                                    max_sequence_length: int = 512) -> dict:
+        """Mixed-size inference batch → ONE padded+segment-masked embeddings
+        dict for a single sampler call (the reference's multi-res sampling
+        loop with per-step re-pad, flux_kontext_trainer.py:1644-1828,
+        re-expressed as static padding + segment ids).
+
+        items: [{"image": HxWx3 target-size reference (zeros ok),
+                 "control"/"control_i": control pixels, "prompt": str}, …]
+        Returns embeddings + "sample_grids" [(gh, gw), …] for decoding.
+        """
+        singles = []
+        for item in items:
+            batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                     for k, v in item.items()}
+            singles.append(self.prepare_embeddings(bundle, batch, max_sequence_length))
+
+        b = len(singles)
+        s_txt = max(int(e["prompt_embeds"].shape[1]) for e in singles)
+        s_tgt = max(int(e["image_latents"].shape[1]) for e in singles)
+        s_ctl = max(int(e["control_latents"].shape[1]) for e in singles)
+        c = int(singles[0]["image_latents"].shape[-1])
+
+        def pad2(x, n):
+            x = np.asarray(x)
+            return np.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+        out = {
+            "image_latents": np.stack([pad2(e["image_latents"][0], s_tgt) for e in singles]),
+            "control_latents": np.stack([pad2(e["control_latents"][0], s_ctl) for e in singles]),
+            "prompt_embeds": np.stack([pad2(e["prompt_embeds"][0], s_txt) for e in singles]),
+            "pooled_prompt_embeds": np.stack([np.asarray(e["pooled_prompt_embeds"][0]) for e in singles]),
+            "txt_ids": np.asarray(singles[0]["txt_ids"]),
+        }
+        ids, segs = [], []
+        grids = []
+        for e in singles:
+            n_tgt = int(e["image_latents"].shape[1])
+            n_ctl = int(e["control_latents"].shape[1])
+            full_ids = np.asarray(e["img_ids"])
+            ids.append(np.concatenate([pad2(full_ids[:n_tgt], s_tgt),
+                                       pad2(full_ids[n_tgt:], s_ctl)]))
+            segs.append(np.concatenate([
+                np.ones(s_txt, np.int32),
+                (np.arange(s_tgt) < n_tgt).astype(np.int32),
+                (np.arange(s_ctl) < n_ctl).astype(np.int32)]))
+            gh = int(round((n_tgt * full_ids[:n_tgt, 1].max() /
+                            max(full_ids[:n_tgt, 2].max(), 1)) ** 0.5)) if n_tgt else 0
+            grids.append(None)  # filled below from ids
+        out["img_ids"] = np.stack(ids)
+        out["segment_ids"] = np.stack(segs)
+        out["attention_mask"] = (np.arange(s_tgt)[None] <
+                                 np.asarray([int(e["image_latents"].shape[1])
+                                             for e in singles])[:, None]).astype(np.float32)
+        out["sample_grids"] = [
+            (int(np.asarray(e["img_ids"])[: int(e["image_latents"].shape[1]), 1].max()) + 1,
+             int(np.asarray(e["img_ids"])[: int(e["image_latents"].shape[1]), 2].max()) + 1)
+            for e in singles]
+        return out
+
     def negative_embeddings(self, bundle: ModelBundle, negative_prompt: str,
                             batch: dict, max_sequence_length: int = 512) -> dict:
         """neg_*-prefixed embeddings for true-CFG sampling (reference

@@ -1,0 +1,61 @@
+"""Mixed-size batched prediction: one sampler call, per-sample decodes —
+and equivalence with per-sample prediction."""
+
+import numpy as np
+import pytest
+
+from qflux_tpu.config import Config
+from qflux_tpu.trainer.base import Trainer
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    cfg = Config.model_validate({
+        "trainer": "FluxKontextLoraTrainer",
+        "model": {"variant": "test"},
+        "train": {"weight_dtype": "float32"},
+        "data": {"processor": {"process_type": "resize", "target_size": [32, 32]}},
+        "predict": {"num_inference_steps": 2},
+        "logging": {"output_dir": str(tmp_path_factory.mktemp("mrp")),
+                    "report_to": "none"},
+    })
+    t = Trainer(cfg)
+    t.load_model()
+    return t
+
+
+def test_multires_predict_shapes(trainer, rng):
+    # processor resizes controls to 32x32, but explicit sizes differ per item
+    items = [
+        {"images": [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)],
+         "prompt": "first", "height": 32, "width": 32},
+        {"images": [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)],
+         "prompt": "second", "height": 32, "width": 48},
+    ]
+    # allow per-item control sizes: bypass processor resize by native sizes
+    trainer.config.data.processor.process_type = "resize"
+    trainer.config.data.processor.target_size = None
+
+    # process_image with size None would fail → give each item its own size via
+    # the fixed 32x32 processor for item 0 and 32x48 handled natively
+    trainer.config.data.processor.target_size = [32, 32]
+    items[1]["images"][0] = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+
+    outs = trainer.predict_multires(items, num_inference_steps=2, seed=0)
+    assert len(outs) == 2
+    assert outs[0].shape == (32, 32, 3)
+    assert outs[1].shape == (32, 48, 3)  # target size drives output size
+    assert all(np.isfinite(o).all() for o in outs)
+
+
+def test_multires_matches_single_predict(trainer, rng):
+    """A homogeneous 'multires' batch must agree with the single predict path
+    (same seed, same shapes)."""
+    ctl = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    items = [{"images": [ctl], "prompt": "same", "height": 32, "width": 32}]
+    multi = trainer.predict_multires(items, num_inference_steps=2, seed=7)[0]
+    single = trainer.predict(ctl, "same", height=32, width=32,
+                             num_inference_steps=2, seed=7)[0]
+    # identical pipeline → near-identical pixels (padding-free case)
+    diff = np.abs(multi.astype(int) - single.astype(int))
+    assert diff.mean() < 2.0
