@@ -420,6 +420,51 @@ class QwenImageEditAdapter:
         }
         return arrays, hash_keys
 
+    def prepare_multires_embeddings(self, bundle: ModelBundle,
+                                    items: list[dict],
+                                    max_sequence_length: int = 1024) -> dict:
+        """Mixed-size inference batch → one padded+segment-masked embeddings
+        dict (reuses the training path's per-sample identity-padded RoPE)."""
+        singles = []
+        for item in items:
+            batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                     for k, v in item.items()}
+            singles.append(self.prepare_embeddings(bundle, batch, max_sequence_length))
+
+        b = len(singles)
+        s_txt = max(int(e["prompt_embeds"].shape[1]) for e in singles)
+        s_tgt = max(int(e["image_latents"].shape[1]) for e in singles)
+        s_ctl = max(int(e["control_latents"].shape[1]) for e in singles)
+        n_planes = max(int(np.asarray(e["img_shapes_arr"]).shape[0]) for e in singles)
+
+        def pad2(x, n):
+            x = np.asarray(x)
+            return np.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+        emb = {
+            "image_latents": np.stack([pad2(e["image_latents"][0], s_tgt) for e in singles]),
+            "control_latents": np.stack([pad2(e["control_latents"][0], s_ctl) for e in singles]),
+            "prompt_embeds": np.stack([pad2(e["prompt_embeds"][0], s_txt) for e in singles]),
+            "prompt_embeds_mask": np.stack([pad2(e["prompt_embeds_mask"][0], s_txt) for e in singles]),
+            "img_shapes_arr": np.stack([pad2(np.asarray(e["img_shapes_arr"]), n_planes)
+                                        for e in singles]),
+        }
+        emb = self.prepare_cached_embeddings(emb)  # builds padded rope tables
+        segs = []
+        for e in singles:
+            n_tgt = int(e["image_latents"].shape[1])
+            n_ctl = int(e["control_latents"].shape[1])
+            pm = pad2(np.asarray(e["prompt_embeds_mask"][0]), s_txt).astype(np.int32)
+            segs.append(np.concatenate([
+                pm,
+                (np.arange(s_tgt) < n_tgt).astype(np.int32),
+                (np.arange(s_ctl) < n_ctl).astype(np.int32)]))
+        emb["segment_ids"] = np.stack(segs)
+        emb["sample_grids"] = [
+            (int(np.asarray(e["img_shapes_arr"])[0][1]),
+             int(np.asarray(e["img_shapes_arr"])[0][2])) for e in singles]
+        return emb
+
     def negative_embeddings(self, bundle: ModelBundle, negative_prompt: str,
                             batch: dict, max_sequence_length: int = 1024) -> dict:
         """Negative embeds keep the control-image context (reference passes

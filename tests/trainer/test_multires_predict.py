@@ -8,10 +8,11 @@ from qflux_tpu.config import Config
 from qflux_tpu.trainer.base import Trainer
 
 
-@pytest.fixture(scope="module")
-def trainer(tmp_path_factory):
+@pytest.fixture(scope="module", params=["FluxKontextLoraTrainer",
+                                        "QwenImageEditTrainer"])
+def trainer(request, tmp_path_factory):
     cfg = Config.model_validate({
-        "trainer": "FluxKontextLoraTrainer",
+        "trainer": request.param,
         "model": {"variant": "test"},
         "train": {"weight_dtype": "float32"},
         "data": {"processor": {"process_type": "resize", "target_size": [32, 32]}},
