@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qflux_tpu.ops.layers import dense, dense_init, mlp_init
+from qflux_tpu.ops.layers import dense, mlp_init
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int = 256, max_period: float = 10000.0,
@@ -33,4 +33,4 @@ def timestep_embedder_init(key, dim: int, in_dim: int = 256, dtype=jnp.float32):
     return mlp_init(key, in_dim, dim, out_dim=dim, dtype=dtype)
 
 
-__all__ = ["sinusoidal_embedding", "mlp_silu", "timestep_embedder_init", "dense", "dense_init"]
+__all__ = ["sinusoidal_embedding", "mlp_silu", "timestep_embedder_init", "dense"]

@@ -15,7 +15,7 @@ T5 encoder.  Qwen-family converters live in models/qwen/.
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Mapping
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
 from qflux_tpu.ops.attention import dot_product_attention

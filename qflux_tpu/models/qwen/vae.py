@@ -23,7 +23,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # per-channel latent statistics from the released Qwen-Image VAE config
 # (Wan 2.1 family; reference qwen_image_edit_trainer.py:863-889 uses

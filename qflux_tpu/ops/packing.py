@@ -10,7 +10,6 @@ on the 128-lane dim — vs the reference's NCHW.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def pack_latents(latents: jax.Array) -> jax.Array:

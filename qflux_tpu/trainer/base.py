@@ -35,7 +35,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from qflux_tpu.config import Config
-from qflux_tpu.losses import AttentionMaskMseLoss, MseLoss
+from qflux_tpu.losses import AttentionMaskMseLoss
 from qflux_tpu.ops.layers import build_lora_tree, merge_lora
 from qflux_tpu.parallel import MeshConfig, build_mesh, shard_pytree
 from qflux_tpu.parallel.partitioning import mmdit_rules
@@ -48,13 +48,9 @@ from qflux_tpu.trainer.train_step import (
     make_train_step,
 )
 from qflux_tpu.utils.fps import FpsLogger
-from qflux_tpu.utils.instantiate import instantiate_class, resolve_symbol
+from qflux_tpu.utils.instantiate import resolve_symbol
 from qflux_tpu.utils.logger import LoggerManager
-from qflux_tpu.utils.lora_io import (
-    LORA_FILE_BASE_NAME,
-    load_lora_safetensors,
-    save_lora_safetensors,
-)
+from qflux_tpu.utils.lora_io import load_lora_safetensors, save_lora_safetensors
 from qflux_tpu.utils.seed import seed_everything
 
 ADAPTERS = {

@@ -23,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

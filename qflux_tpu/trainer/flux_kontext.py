@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from qflux_tpu.models.flux.text_encoders import (
     t5_encode_jit,
     t5_init,
 )
-from qflux_tpu.ops.packing import pack_latents, pixel_to_latent_hw, unpack_latents
+from qflux_tpu.ops.packing import pack_latents, unpack_latents
 from qflux_tpu.ops.rope import flux_image_ids, flux_text_ids
 from qflux_tpu.utils.lora_io import flux_module_name, flux_tree_path
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from pathlib import Path
-from typing import Any, Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ from qflux_tpu.models.qwen import vae as qwen_vae
 from qflux_tpu.models.qwen import vl_encoder as vl
 from qflux_tpu.ops.packing import pack_latents, unpack_latents
 from qflux_tpu.trainer.flux_kontext import ModelBundle, SimpleTokenizer
-from qflux_tpu.utils.lora_io import flux_tree_path
 
 # diffusers QwenImageEditPipeline template (drop_idx = 64 template-prefix tokens)
 EDIT_TEMPLATE = (

@@ -14,7 +14,7 @@ neg + s·(pos − neg)) and the Qwen norm-rescaled guidance variant
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ reachable.  The schema/packing logic is pure and tested offline.
 
 from __future__ import annotations
 
-import logging
 import os
 from pathlib import Path
 from typing import Any, Optional

@@ -6,7 +6,7 @@ padding lives in data/collate.py here)."""
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 
