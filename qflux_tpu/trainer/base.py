@@ -42,6 +42,7 @@ from qflux_tpu.parallel.partitioning import mmdit_rules
 from qflux_tpu.scheduler.flow_match import FlowMatchScheduler
 from qflux_tpu.trainer.sampling import SamplingConfig, make_sampler
 from qflux_tpu.trainer.train_step import (
+    SHARED_BATCH_KEY_PREFIXES,
     TrainState,
     TrainStepConfig,
     make_lr_schedule,
@@ -322,8 +323,7 @@ class Trainer:
             if arr.dtype in (jnp.float32, jnp.float16, jnp.float64):
                 arr = arr.astype(dtype) if k != "edit_mask" else arr.astype(jnp.float32)
             batch_leading = (arr.ndim >= 1 and arr.shape[0] > 1
-                             and not k.startswith(("img_ids", "txt_ids", "rope_",
-                                                   "img_shapes")))
+                             and not k.startswith(SHARED_BATCH_KEY_PREFIXES))
             if batch_leading:
                 arr = jax.device_put(arr, sharding)
             out[k] = arr

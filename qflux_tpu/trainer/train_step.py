@@ -57,6 +57,12 @@ class TrainStepConfig:
     grad_accum_steps: int = 1
 
 
+# Batch keys that are shared across samples (RoPE id tables, shape manifests)
+# rather than carrying a leading batch axis — excluded from microbatch
+# splitting and from (dp, fsdp) batch sharding. Kept in sync with
+# Trainer._device_batch.
+SHARED_BATCH_KEY_PREFIXES = ("img_ids", "txt_ids", "rope_", "img_shapes")
+
 # predict_velocity(merged_params, batch, noisy_latents, sigma) -> [B, S_img, C]
 PredictFn = Callable[[Any, dict, jax.Array, jax.Array], jax.Array]
 # criterion(pred, target, weighting=…, edit_mask=…, attention_mask=…) -> scalar
@@ -100,8 +106,11 @@ def make_train_step(
 ):
     """Returns jitted `step(state, base_params, batch, rng) -> (state, metrics)`.
 
-    With cfg.grad_accum_steps > 1, every batch leaf must carry a leading
-    [accum, micro_batch, …] axis; gradients are averaged over the scan.
+    With cfg.grad_accum_steps > 1 the step takes the SAME flat [B, …] batches
+    as accum=1 and reshapes them to [accum, B//accum, …] under jit, scanning
+    microbatches and averaging gradients (the reference's
+    accelerator.accumulate, base_trainer.py:518). Shared leaves (RoPE id
+    tables etc., see SHARED_BATCH_KEY_PREFIXES) are closed over, not scanned.
 
     When `mesh` is given, the updated LoRA/optimizer state is constrained to
     stay fully replicated — the design point of LoRA-FSDP (adapters are tiny;
@@ -125,16 +134,30 @@ def make_train_step(
         if cfg.grad_accum_steps == 1:
             return jax.value_and_grad(loss_fn)(state.lora, batch, rng)
 
+        n = cfg.grad_accum_steps
+        b_total = batch["image_latents"].shape[0]
+        if b_total % n:
+            raise ValueError(
+                f"batch size {b_total} not divisible by grad_accum_steps={n}")
+        micro_b = b_total // n
+        scanned = {
+            k: v for k, v in batch.items()
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b_total
+            and not k.startswith(SHARED_BATCH_KEY_PREFIXES)
+        }
+        shared = {k: v for k, v in batch.items() if k not in scanned}
+        scanned = {k: v.reshape((n, micro_b) + v.shape[1:])
+                   for k, v in scanned.items()}
+
         def micro(carry, inp):
             loss_acc, grad_acc = carry
-            b, r = inp
-            l, g = jax.value_and_grad(loss_fn)(state.lora, b, r)
+            mb, r = inp
+            l, g = jax.value_and_grad(loss_fn)(state.lora, {**shared, **mb}, r)
             return (loss_acc + l, jax.tree.map(jnp.add, grad_acc, g)), None
 
         zeros = jax.tree.map(jnp.zeros_like, state.lora)
-        rngs = jax.random.split(rng, cfg.grad_accum_steps)
-        (loss_sum, grad_sum), _ = jax.lax.scan(micro, (0.0, zeros), (batch, rngs))
-        n = cfg.grad_accum_steps
+        rngs = jax.random.split(rng, n)
+        (loss_sum, grad_sum), _ = jax.lax.scan(micro, (0.0, zeros), (scanned, rngs))
         return loss_sum / n, jax.tree.map(lambda g: g / n, grad_sum)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -2,16 +2,48 @@
 working — the round driver invokes them directly."""
 
 import json
+import os
+import re
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
+
+REPO = Path(__file__).parents[1]
 
 
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts internally (finite loss, step advanced)
+
+
+def test_dryrun_multichip_driver_contract():
+    """Simulate the driver's actual call pattern: a COLD process whose jax
+    backend exposes only 1 device and whose env does NOT pre-force the
+    8-device CPU platform. dryrun_multichip must still succeed by re-execing
+    itself on a virtual CPU mesh (round-1 failure mode: MULTICHIP_r01 ok:false).
+    """
+    env = dict(os.environ)
+    # strip the conftest-injected virtual-mesh flag; leave a 1-device CPU
+    # backend, which is exactly what the driver sees on the 1-chip tunnel
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import __graft_entry__ as g\n"
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=str(REPO),
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "ok" in out.stdout
 
 
 def test_entry_returns_jittable():

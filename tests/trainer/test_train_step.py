@@ -65,24 +65,44 @@ def test_train_step_reduces_loss(setup):
 
 
 def test_grad_accum_matches_big_batch(setup):
-    """accum=2 over half-batches must roughly equal one big-batch step (same
-    RNG folding differs, so compare gradient magnitudes not exact values)."""
+    """accum=2 takes the SAME flat [B,…] batch as accum=1 (the step reshapes
+    internally) and its SGD update must exactly equal the manual average of
+    the two microbatch gradients (same per-microbatch RNG folding)."""
+    from qflux_tpu.trainer.train_step import _loss_for_microbatch
+
     cfg, params, lora, adapter = setup
-    opt = optax.sgd(1e-3)
-    step1 = make_train_step(adapter.predict_velocity, MseLoss(), opt,
-                            TrainStepConfig(grad_accum_steps=1, max_grad_norm=0))
-    step2 = make_train_step(adapter.predict_velocity, MseLoss(), opt,
-                            TrainStepConfig(grad_accum_steps=2, max_grad_norm=0))
+    lr = 1e-3
+    opt = optax.sgd(lr)
+    step_cfg = TrainStepConfig(grad_accum_steps=2, max_grad_norm=0)
+    step2 = make_train_step(adapter.predict_velocity, MseLoss(), opt, step_cfg)
     batch = _batch(cfg, b=4)
-    micro = jax.tree.map(lambda x: x.reshape((2, 2) + x.shape[1:])
-                         if x.shape and x.shape[0] == 4 else jnp.stack([x, x]), batch)
-    # train_step donates its state — each call needs its own device copy
     fresh = lambda: jax.tree.map(jnp.asarray, lora)
-    s1, m1 = step1(TrainState.create(fresh(), opt), params, batch, jax.random.PRNGKey(3))
-    s2, m2 = step2(TrainState.create(fresh(), opt), params, micro, jax.random.PRNGKey(3))
+    rng = jax.random.PRNGKey(3)
+    s2, m2 = step2(TrainState.create(fresh(), opt), params, batch, rng)
     assert np.isfinite(float(m2["loss"]))
-    # same order of magnitude losses
-    assert abs(float(m1["loss"]) - float(m2["loss"])) < 2.0
+
+    # manual reference: fold_in(step=0), split into 2 microbatch rngs
+    rngs = jax.random.split(jax.random.fold_in(rng, 0), 2)
+    grads, losses = [], []
+    for i in range(2):
+        mb = {k: (v[2 * i: 2 * i + 2] if v.shape[0] == 4 else v)
+              for k, v in batch.items()}
+        l, g = jax.value_and_grad(
+            lambda lo: _loss_for_microbatch(params, lo, mb, rngs[i],
+                                            adapter.predict_velocity, MseLoss(),
+                                            step_cfg))(fresh())
+        grads.append(g)
+        losses.append(float(l))
+    mean_grad = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    # the step zeroes updates on "scaling" leaves (constants, not trainable)
+    expect_lora = jax.tree_util.tree_map_with_path(
+        lambda path, p, g: p if any(getattr(k, "key", None) == "scaling"
+                                    for k in path) else p - lr * g,
+        fresh(), mean_grad)
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
+    for got, want in zip(jax.tree.leaves(s2.lora), jax.tree.leaves(expect_lora)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-6)
 
 
 def test_train_step_sharded(setup):
