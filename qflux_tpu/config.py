@@ -244,9 +244,22 @@ class TrainSection(StrictModel):
     timestep_sampling: Literal["uniform", "logit_normal", "shift", "weighted"] = "uniform"
     logit_mean: float = 0.0
     logit_std: float = 1.0
+    # per-timestep loss weighting (reference custom_flowmatch_scheduler.py:39-82):
+    # "weighted" uses the 1000-entry empirical table (or weighting_table if set)
+    weighting_scheme: Literal["none", "bell", "half_bell", "weighted"] = "none"
+    weighting_table: Optional[str] = None  # path to .npy/.json custom table
     seed: int = 1234
     weight_dtype: Literal["bfloat16", "float32"] = "bfloat16"
     low_memory: bool = False
+
+    @model_validator(mode="after")
+    def _weighted_sampling_implies_weighting(self):
+        # the reference's timestep_type="weighted" = uniform/linear timesteps
+        # + empirical-table LOSS weights (custom_flowmatch_scheduler.py:68-82);
+        # make the knob mean that instead of silently degrading to uniform
+        if self.timestep_sampling == "weighted" and self.weighting_scheme == "none":
+            self.weighting_scheme = "weighted"
+        return self
 
 
 class ValidationSection(StrictModel):

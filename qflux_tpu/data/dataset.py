@@ -259,11 +259,25 @@ class ImageDataset:
             "cached": False,
         }
 
+        # cfg-style conditioning dropout: prompt_image_dropout drops BOTH the
+        # prompt and the control context; caption_dropout drops the prompt only
+        # (reference data/config.py:383 declares the knob; applied here at item
+        # level — control latents/pixels are zeroed so shapes stay static)
+        drop_all = (self.prompt_image_dropout_rate > 0
+                    and float(self._rng.random()) < self.prompt_image_dropout_rate)
+        drop_caption = drop_all or (
+            self.caption_dropout_rate > 0
+            and float(self._rng.random()) < self.caption_dropout_rate)
+
         if self.use_cache and self.cache_manager and self.cache_manager.exists(hashes["main_hash"]):
-            drop = float(self._rng.random()) < self.caption_dropout_rate
-            cached = self.cache_manager.load(hashes["main_hash"], use_empty_prompt=drop)
+            cached = self.cache_manager.load(hashes["main_hash"],
+                                             use_empty_prompt=drop_caption)
             if cached is not None:
                 out.update(cached)
+                if drop_all:
+                    for k, v in out.items():
+                        if k.startswith("control") and hasattr(v, "dtype"):
+                            out[k] = np.zeros_like(v)
                 out["cached"] = True
                 return out
 
@@ -280,6 +294,13 @@ class ImageDataset:
             m = cv2.imread(sample["mask_file"], cv2.IMREAD_GRAYSCALE)
             raw["mask"] = m
         proc = self.processor.preprocess(raw)
+        if drop_caption:
+            out["prompt"] = ""
+        if drop_all:
+            for k in ("control", "controls"):
+                if k in proc:
+                    proc[k] = ([np.zeros_like(c) for c in proc[k]]
+                               if isinstance(proc[k], list) else np.zeros_like(proc[k]))
         out["image"] = proc["image"]
         out["img_shapes"] = [tuple(proc["image"].shape[:2])]
         if "control" in proc:

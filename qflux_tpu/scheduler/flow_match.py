@@ -146,6 +146,8 @@ def compute_density_for_timestep_sampling(
     if weighting_scheme == "mode":
         u = jax.random.uniform(rng, (batch_size,))
         return 1.0 - u - mode_scale * (jnp.cos(jnp.pi * u / 2) ** 2 - 1.0 + u)
+    if weighting_scheme != "uniform":
+        raise ValueError(f"unknown timestep sampling scheme {weighting_scheme!r}")
     return jax.random.uniform(rng, (batch_size,))
 
 

@@ -19,6 +19,26 @@ NUM_TIMESTEPS = 1000
 
 
 @functools.lru_cache(maxsize=None)
+def default_weighting_table() -> np.ndarray:
+    """The reference's 1000-entry empirical weighting table (computed from
+    flex.1-alpha; reference scheduler/default_weighting_scheme.py:1-1005),
+    stored as data. Index 0 ↔ timestep 1000 (σ=1), index 999 ↔ timestep 1."""
+    import pathlib
+
+    path = pathlib.Path(__file__).with_name("default_weighting_table.npy")
+    return np.load(path).astype(np.float32)
+
+
+def load_weighting_table(path: str) -> np.ndarray:
+    """A user-supplied table: .npy, or .json/.txt with one float per entry."""
+    if str(path).endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    import json as _json
+
+    return np.asarray(_json.loads(open(path).read()), dtype=np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def bell_weights(num_timesteps: int = NUM_TIMESTEPS) -> np.ndarray:
     """Bell-shaped mean-normalized timestep weights ("bsmntw")."""
     x = np.arange(num_timesteps, dtype=np.float32)

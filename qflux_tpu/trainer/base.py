@@ -176,6 +176,32 @@ class Trainer:
         cls = resolve_symbol(self.config.loss.class_path)
         return cls(**self.config.loss.init_args)
 
+    def _build_step_config(self) -> TrainStepConfig:
+        """YAML → TrainStepConfig, resolving the weighting scheme/table
+        (reference custom_flowmatch_scheduler.py:39-82: "weighted" = uniform
+        timesteps + the empirical loss-weight table)."""
+        t = self.config.train
+        sampling = t.timestep_sampling
+        scheme, table = t.weighting_scheme, None
+        if sampling == "weighted":
+            sampling = "uniform"
+            if scheme == "none":
+                scheme = "weighted"
+        if scheme == "weighted":
+            from qflux_tpu.scheduler.weighting import (
+                default_weighting_table, load_weighting_table)
+
+            table = (load_weighting_table(t.weighting_table)
+                     if t.weighting_table else default_weighting_table())
+            scheme = "table"
+        return TrainStepConfig(
+            timestep_sampling=sampling,
+            logit_mean=t.logit_mean, logit_std=t.logit_std,
+            weighting_scheme=scheme, weighting_table=table,
+            max_grad_norm=t.max_grad_norm,
+            grad_accum_steps=t.gradient_accumulation_steps,
+        )
+
     # ------------------------------------------------------------------
     # fit
 
@@ -198,12 +224,7 @@ class Trainer:
         lora = self.build_lora()
         optimizer = self.build_optimizer()
         criterion = self.build_criterion()
-        step_cfg = TrainStepConfig(
-            timestep_sampling=cfg.train.timestep_sampling,
-            logit_mean=cfg.train.logit_mean, logit_std=cfg.train.logit_std,
-            max_grad_norm=cfg.train.max_grad_norm,
-            grad_accum_steps=cfg.train.gradient_accumulation_steps,
-        )
+        step_cfg = self._build_step_config()
         step_fn = make_train_step(self.adapter.predict_velocity, criterion, optimizer,
                                   step_cfg, mesh=self.mesh)
         self.state = TrainState.create(lora, optimizer)

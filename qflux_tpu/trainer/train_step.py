@@ -52,7 +52,10 @@ class TrainStepConfig:
     logit_mean: float = 0.0
     logit_std: float = 1.0
     sigma_shift: float = 3.0
-    weighting_scheme: str = "none"       # none | bell | half_bell
+    weighting_scheme: str = "none"       # none | bell | half_bell | table
+    # per-timestep loss weights for scheme="table" (e.g. the reference's
+    # 1000-entry empirical table); excluded from eq/hash (ndarray)
+    weighting_table: Any = dataclasses.field(default=None, compare=False)
     max_grad_norm: float = 1.0
     grad_accum_steps: int = 1
 
@@ -88,7 +91,8 @@ def _loss_for_microbatch(base_params, lora, batch, rng, predict_velocity,
 
     weighting = None
     if cfg.weighting_scheme != "none":
-        weighting = weights_for_sigmas(sigma, cfg.weighting_scheme)[:, None, None]
+        weighting = weights_for_sigmas(
+            sigma, cfg.weighting_scheme, table=cfg.weighting_table)[:, None, None]
     return criterion(
         pred, target,
         weighting=weighting,
