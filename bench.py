@@ -74,7 +74,9 @@ def main():
         cfg = flux.FluxConfig()            # the REAL 19+38-layer model
         params = _synthetic_int8_params(cfg)
         batch_size, grid, txt_len, n_iters = 1, 32, 512, 12
-        remat_policy = "full"              # int8 base + full remat fits 16 GB
+        # "flash" = full recompute except the attention kernel's out+lse
+        # (+11% over "full" at ~1 GB extra; docs/PERF.md round-2 table)
+        remat_policy = "flash"
     else:
         cfg = flux.FluxConfig.tiny()
         params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)

@@ -125,9 +125,14 @@ class MeshSection(StrictModel):
     dp: int = 1
     fsdp: int = -1
     tp: int = 1
+    # sequence parallel (ring attention over the joint sequence)
+    sp: int = 1
     dcn_axes: list[str] = Field(default_factory=list)
-    # remat ≈ the reference's gradient checkpointing (base_trainer.py:324-325)
-    remat: Literal["none", "minimal", "full"] = "full"
+    # remat ≈ the reference's gradient checkpointing (base_trainer.py:324-325).
+    # "flash" (default) = full recompute EXCEPT the flash-attention kernel
+    # outputs (+11% step time vs "full" at ~1 GB extra; docs/PERF.md);
+    # "minimal" = save matmul outputs (most memory, least recompute).
+    remat: Literal["none", "minimal", "full", "flash"] = "flash"
 
 
 class LoraSection(StrictModel):
@@ -142,9 +147,11 @@ class LoraSection(StrictModel):
 
 class QuantizeSection(StrictModel):
     enabled: bool = False
-    # int8 weight-only is the TPU-native analogue of the reference's
-    # bnb int8/NF4 path (reference models/quantize.py:169-273)
-    dtype: Literal["int8", "fp8_e4m3", "fp8_e5m2"] = "int8"
+    # int8/fp8 weight-only + grouped int4 are the TPU-native analogues of the
+    # reference's bnb int8/NF4 path (reference models/quantize.py:169-273);
+    # int4 is what fits the 20B Qwen DiT on one 16 GB v5e
+    dtype: Literal["int8", "int4", "fp8_e4m3", "fp8_e5m2"] = "int8"
+    group_size: int = 128  # int4 scale granularity along the in-dim
     skip_patterns: list[str] = Field(default_factory=lambda: [r".*norm.*", r".*embed.*"])
 
 
@@ -160,6 +167,9 @@ class ModelSection(StrictModel):
     quantize: Union[bool, QuantizeSection] = False
     pretrained_embeddings: Optional[str] = None
     use_vlm_prompt_enhancer: bool = False
+    # Qwen2.5-VL checkpoint dir for the prompt enhancer (reference
+    # dreamomni2_trainer.py:95 vlm_path, default repo "xiabs/DreamOmni2")
+    vlm_path: Optional[str] = None
     # size preset for tests: "full" loads real weights; "test" builds a tiny
     # random-init model with the same topology
     variant: str = "full"
@@ -251,6 +261,10 @@ class TrainSection(StrictModel):
     seed: int = 1234
     weight_dtype: Literal["bfloat16", "float32"] = "bfloat16"
     low_memory: bool = False
+    # overlap full-state (lora+optimizer) checkpoint serialization with
+    # training via orbax async (utils/checkpoint.AsyncCheckpointer); the LoRA
+    # safetensors interop export stays synchronous either way
+    async_checkpointing: bool = False
 
     @model_validator(mode="after")
     def _weighted_sampling_implies_weighting(self):
@@ -269,6 +283,13 @@ class ValidationSection(StrictModel):
     true_cfg_scale: float = 1.0
     guidance: float = 2.5
     samples: list[dict[str, Any]] = Field(default_factory=list)
+    # alternative sample source: a dataset spec {class_path, init_args}
+    # (reference validation.py:80-118 _load_validation_samples)
+    dataset: Optional[dict[str, Any]] = None
+    max_samples: int = 4
+    # fail-loud by default (reference raises on shape mismatch,
+    # validation.py:154-204); set False to log-and-continue
+    fail_on_error: bool = True
 
 
 class LoggingSection(StrictModel):
@@ -277,6 +298,9 @@ class LoggingSection(StrictModel):
     report_to: Literal["tensorboard", "wandb", "swanlab", "none"] = "tensorboard"
     tracker_project_name: Optional[str] = None
     sampling_seed: int = 42
+    # capture an XLA/TPU profiler trace of a few post-compile train steps
+    # into this dir (viewable in TensorBoard/Perfetto; utils/profiling.trace)
+    profile_dir: Optional[str] = None
 
 
 class PredictSection(StrictModel):

@@ -32,6 +32,21 @@ class EmbeddingCacheManager:
 
     # -- hashing ------------------------------------------------------------
 
+    # files at/above this size hash with the native XXH64 (csrc/qflux_host.cpp,
+    # ~10× md5 throughput); smaller files keep md5 so existing caches stay valid
+    BIG_FILE_THRESHOLD = 64 << 20
+
+    @staticmethod
+    def _file_hash(path) -> str:
+        try:
+            if Path(str(path)).stat().st_size >= EmbeddingCacheManager.BIG_FILE_THRESHOLD:
+                from qflux_tpu.runtime.native import xxh64_file
+
+                return f"x{xxh64_file(path)}"
+        except OSError:
+            pass
+        return md5_file(path)
+
     @staticmethod
     def get_hash(*items) -> str:
         """Hash files (by content) and strings (by value), combined."""
@@ -40,7 +55,7 @@ class EmbeddingCacheManager:
             if isinstance(item, (list, tuple)):
                 parts.extend(EmbeddingCacheManager.get_hash(x) for x in item)
             elif isinstance(item, (str, Path)) and Path(str(item)).is_file():
-                parts.append(md5_file(item))
+                parts.append(EmbeddingCacheManager._file_hash(item))
             else:
                 parts.append(md5_string(str(item)))
         return combine_hashes(*parts) if len(parts) > 1 else parts[0]

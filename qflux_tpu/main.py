@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=None, help="inference steps")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture an XLA profiler trace of steps 2-4 into DIR")
     return p.parse_args(argv)
 
 
@@ -75,6 +77,8 @@ def main(argv=None):
         config.data.init_args.pop("use_cache", None)
     if args.predict:
         config.mode = RunMode.predict
+    if args.profile:
+        config.logging.profile_dir = args.profile
 
     if config.mode == RunMode.predict:
         # inference: no dataset needed (reference predict path,

@@ -296,6 +296,15 @@ def forward(
     if remat:
         policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                   "dots_all": jax.checkpoint_policies.dots_saveable,
+                  # save only the flash-attention kernel outputs (out+lse,
+                  # ~16 MB/block at 512² bs=1) so backward skips re-running
+                  # the attention forward while everything else recomputes
+                  "flash": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse"),
+                  # additionally keep q/k/v fed to the kernel — backward
+                  # skips their GEMM+rope recompute at ~2.7 GB extra (512²)
+                  "flash_qkv": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
                   "full": None}[remat_policy]
         dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
         single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)

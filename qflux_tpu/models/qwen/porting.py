@@ -74,6 +74,19 @@ def convert_vl_text(sd: Mapping[str, np.ndarray], num_layers: int,
     return p
 
 
+def convert_vl_lm_head(sd: Mapping[str, np.ndarray], dtype=np.float32) -> dict:
+    """LM head for autoregressive decoding (VLM prompt enhancer).
+
+    Qwen2.5-VL ships `lm_head.weight` [vocab, hidden]; smaller variants tie it
+    to the token embedding — fall back to embed_tokens then."""
+    for key in ("lm_head.weight", "model.lm_head.weight"):
+        if key in sd:
+            return {"kernel": np.ascontiguousarray(sd[key].T).astype(dtype)}
+    pre = _detect_prefix(sd, ["model.language_model.", "language_model.model.", "model."])
+    return {"kernel": np.ascontiguousarray(
+        sd[f"{pre}embed_tokens.weight"].T).astype(dtype)}
+
+
 # ---------------------------------------------------------------------------
 # Qwen-Image MMDiT (diffusers QwenImageTransformer2DModel names,
 # reference models/transformer_qwenimage.py:497-570)

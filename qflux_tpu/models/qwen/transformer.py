@@ -232,6 +232,10 @@ def forward(
     if remat:
         policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                   "dots_all": jax.checkpoint_policies.dots_saveable,
+                  "flash": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse"),
+                  "flash_qkv": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
                   "full": None}[remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

@@ -89,6 +89,8 @@ class VLSpecialTokens:
     image_token_id: int = 151655       # <|image_pad|>
     vision_start_token_id: int = 151652
     vision_end_token_id: int = 151653
+    # <|im_end|>, <|endoftext|> — stop ids for greedy generation
+    eos_token_ids: tuple[int, ...] = (151645, 151643)
 
 
 # ===========================================================================
@@ -387,6 +389,95 @@ def text_forward(params, cfg: VLTextConfig, inputs_embeds: jax.Array,
 
 
 # ===========================================================================
+# KV-cached autoregressive decoding (VLM prompt enhancer,
+# reference trainer/dreamomni2_trainer.py:218-336 uses model.generate)
+#
+# Fixed-size cache + a traced length scalar: ONE compile for prefill and ONE
+# for every decode step regardless of how many tokens are generated.
+
+def make_kv_cache(cfg: VLTextConfig, batch: int, max_len: int, dtype=jnp.float32):
+    """Per-layer stacked K/V cache [L, B, max_len, n_kv, head_dim]."""
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _rope_qk(q, k, cos, sin, dtype):
+    q = (q.astype(jnp.float32) * cos[:, :, None]
+         + _rotate_half(q.astype(jnp.float32)) * sin[:, :, None]).astype(dtype)
+    k = (k.astype(jnp.float32) * cos[:, :, None]
+         + _rotate_half(k.astype(jnp.float32)) * sin[:, :, None]).astype(dtype)
+    return q, k
+
+
+def text_prefill(params, cfg: VLTextConfig, inputs_embeds: jax.Array,
+                 position_ids, cache: dict):
+    """text_forward that also fills cache[:, :, :S]. Returns (hidden, cache)."""
+    b, s, d = inputs_embeds.shape
+    n_h, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+
+    x = inputs_embeds
+    for li, lp in enumerate(params["layers"]):
+        h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        a = lp["attn"]
+        q = dense(a["q"], h).reshape(b, s, n_h, hd)
+        k = dense(a["k"], h).reshape(b, s, n_kv, hd)
+        v = dense(a["v"], h).reshape(b, s, n_kv, hd)
+        q, k = _rope_qk(q, k, cos, sin, x.dtype)
+        cache["k"] = cache["k"].at[li, :, :s].set(k.astype(cache["k"].dtype))
+        cache["v"] = cache["v"].at[li, :, :s].set(v.astype(cache["v"].dtype))
+        k = jnp.repeat(k, n_h // n_kv, axis=2)
+        v = jnp.repeat(v, n_h // n_kv, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        logits = jnp.where(causal, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, d)
+        x = x + dense(a["o"], o)
+        h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + dense(lp["mlp"]["down"],
+                      jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+    return _rms_apply(params["norm"], x, cfg.rms_norm_eps), cache
+
+
+def text_decode_step(params, cfg: VLTextConfig, embed: jax.Array,
+                     position_ids, cache: dict, cache_len):
+    """One greedy-decode step: embed [B, 1, D] attends over cache[: cache_len]
+    plus itself (written at index cache_len). Returns (hidden [B, D], cache)."""
+    b = embed.shape[0]
+    n_h, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    max_len = cache["k"].shape[2]
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    mask = (jnp.arange(max_len) <= cache_len)[None, None, None, :]
+
+    x = embed
+    for li, lp in enumerate(params["layers"]):
+        h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        a = lp["attn"]
+        q = dense(a["q"], h).reshape(b, 1, n_h, hd)
+        k = dense(a["k"], h).reshape(b, 1, n_kv, hd)
+        v = dense(a["v"], h).reshape(b, 1, n_kv, hd)
+        q, k = _rope_qk(q, k, cos, sin, x.dtype)
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype)[None], (li, 0, cache_len, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype)[None], (li, 0, cache_len, 0, 0))
+        k_all = jnp.repeat(cache["k"][li].astype(x.dtype), n_h // n_kv, axis=2)
+        v_all = jnp.repeat(cache["v"][li].astype(x.dtype), n_h // n_kv, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        logits = jnp.where(mask, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all).reshape(b, 1, -1)
+        x = x + dense(a["o"], o)
+        h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + dense(lp["mlp"]["down"],
+                      jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+    return _rms_apply(params["norm"], x, cfg.rms_norm_eps)[:, 0], cache
+
+
+# ===========================================================================
 # rope index (images-only simplification of HF get_rope_index)
 
 def get_rope_index(input_ids: np.ndarray, grid_thw_per_image: list[tuple[int, int, int]],
@@ -438,3 +529,7 @@ def vision_forward_jit(params, cfg, patches, grid_thw_tuple):
 
 
 text_forward_jit = _functools.partial(jax.jit, static_argnums=(1,))(text_forward)
+text_prefill_jit = _functools.partial(
+    jax.jit, static_argnums=(1,), donate_argnums=(4,))(text_prefill)
+text_decode_step_jit = _functools.partial(
+    jax.jit, static_argnums=(1,), donate_argnums=(4,))(text_decode_step)

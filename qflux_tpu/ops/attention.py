@@ -57,7 +57,26 @@ def _dispatch(q, k, v, segment_ids, impl):
 
 
 def dot_product_attention(q, k, v, segment_ids=None, impl: str = "auto"):
-    """q,k,v: [B, S, H, D]; segment_ids: optional [B, S] int32."""
+    """q,k,v: [B, S, H, D]; segment_ids: optional [B, S] int32.
+
+    impl="ring" (or "auto" with an active mesh whose sp axis > 1) runs
+    sequence-parallel ring attention (ops/ring_attention.py) under shard_map
+    with the joint sequence split over the "sp" mesh axis."""
+    from qflux_tpu.parallel.mesh import active_mesh
+
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        mesh = active_mesh()
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            impl = "ring"
+        else:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "ring":
+        from qflux_tpu.ops.ring_attention import ring_attention_sharded
+
+        mesh = active_mesh()
+        if mesh is None or mesh.shape.get("sp", 1) <= 1:
+            raise ValueError("impl='ring' needs an active mesh with sp > 1 "
+                             "(build_mesh(MeshConfig(sp=...)) first)")
+        return ring_attention_sharded(q, k, v, mesh, "sp",
+                                      segment_ids=segment_ids)
     return _dispatch(q, k, v, segment_ids, impl)

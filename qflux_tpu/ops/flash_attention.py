@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -251,6 +252,12 @@ def _flash(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
     out, lse = _fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k)
+    # Tag the kernel outputs so a remat policy can keep them: with
+    # save_only_these_names("flash_out", "flash_lse") the backward pass reuses
+    # out+lse (tiny: [B,H,S,D]+[B,H,S]) instead of re-running the forward
+    # kernel, while q/k/v are still cheaply recomputed from the GEMMs.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
@@ -280,9 +287,12 @@ def flash_attention(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None,
     block_k = min(block_k, max(sk, 128))
 
     pq, pk = _pad_len(sq, block_q), _pad_len(sk, block_k)
-    qt = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qt = checkpoint_name(
+        jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_q")
+    kt = checkpoint_name(
+        jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_k")
+    vt = checkpoint_name(
+        jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_v")
     qs = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
     ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
 

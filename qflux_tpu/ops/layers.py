@@ -65,7 +65,11 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
     Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
     dequantized inline — XLA fuses the scale multiply into the matmul."""
-    if "kernel_q" in p:
+    if "kernel_q4" in p:
+        from qflux_tpu.ops.quant import dequantize_kernel_int4
+
+        kernel = dequantize_kernel_int4(p["kernel_q4"], p["kernel_scale"], x.dtype)
+    elif "kernel_q" in p:
         kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)
@@ -122,7 +126,7 @@ def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
         if "kernel" in params and not isinstance(params["kernel"], dict):
             yield prefix, params
             return
-        if "kernel_q" in params:
+        if "kernel_q" in params or "kernel_q4" in params:
             yield prefix, params
             return
         for k, v in params.items():
@@ -147,8 +151,15 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
              if any(pat.search("/".join(p)) for pat in pats)]
     keys = jax.random.split(key, max(len(paths), 1))
     for (path, node), k in zip(paths, keys):
-        kernel = node["kernel"] if "kernel" in node else node["kernel_q"]
+        if "kernel" in node:
+            kernel = node["kernel"]
+        elif "kernel_q4" in node:
+            kernel = node["kernel_q4"]
+        else:
+            kernel = node["kernel_q"]
         *lead, in_dim, out_dim = kernel.shape
+        if "kernel_q4" in node and "kernel" not in node:
+            in_dim *= 2  # two int4 rows packed per int8 byte
         lead = tuple(lead)
         if init == "gaussian":
             a = jax.random.normal(k, lead + (in_dim, rank), dtype) * (1.0 / rank)

@@ -36,6 +36,42 @@ def quantize_kernel(kernel, dtype="int8"):
     return q, scale
 
 
+def quantize_kernel_int4(kernel, group_size: int = 128):
+    """[…, in, out] float → (packed […, in/2, out] int8, […, in/G, 1, out] f32).
+
+    TPU-native analogue of the reference's NF4/fp4 bases (reference
+    models/quantize.py:169-273, load-bearing for fitting the 20B Qwen DiT):
+    symmetric int4 with per-(group, out-channel) scales, two nibbles packed
+    per int8 byte along the in-dim (row 2i → low nibble, 2i+1 → high)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    *lead, d_in, d_out = k.shape
+    g = min(group_size, d_in)
+    if d_in % g or d_in % 2:
+        raise ValueError(f"in_dim {d_in} must divide group_size {g} and be even")
+    grouped = k.reshape(*lead, d_in // g, g, d_out)
+    amax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)   # [..., in/G, 1, out]
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, d_in, d_out)
+    lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale.astype(jnp.float32)
+
+
+def dequantize_kernel_int4(packed, scale, dtype=jnp.bfloat16):
+    """Inverse of quantize_kernel_int4; XLA fuses this into the matmul's
+    operand load (shift/and/mul are elementwise on the weight tile)."""
+    *lead, half_in, d_out = packed.shape
+    d_in = half_in * 2
+    n_groups = scale.shape[-3]
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extended low nibble
+    hi = jnp.right_shift(packed, 4)                     # arithmetic → signed high
+    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, d_in, d_out)
+    grouped = q.reshape(*lead, n_groups, d_in // n_groups, d_out).astype(jnp.float32)
+    return (grouped * scale).reshape(*lead, d_in, d_out).astype(dtype)
+
+
 def dequantize_kernel(q, scale, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
@@ -48,15 +84,24 @@ def quantize_tree(params, qcfg) -> dict:
     """
     skip = [re.compile(p) for p in qcfg.skip_patterns]
 
+    group_size = getattr(qcfg, "group_size", 128)
+
     def rec(node, path):
         if isinstance(node, dict):
             if "kernel" in node and not isinstance(node["kernel"], dict):
                 path_str = "/".join(path)
                 if any(p.search(path_str) for p in skip) or node["kernel"].ndim < 2:
                     return node
-                q, scale = quantize_kernel(node["kernel"], qcfg.dtype)
                 out = {k: v for k, v in node.items() if k != "kernel"}
-                out["kernel_q"] = q
+                if qcfg.dtype == "int4":
+                    k = node["kernel"]
+                    if k.shape[-2] % 2 or k.shape[-2] % min(group_size, k.shape[-2]):
+                        return node  # odd/ragged in-dim: keep full precision
+                    q, scale = quantize_kernel_int4(k, group_size)
+                    out["kernel_q4"] = q
+                else:
+                    q, scale = quantize_kernel(node["kernel"], qcfg.dtype)
+                    out["kernel_q"] = q
                 out["kernel_scale"] = scale
                 return out
             return {k: rec(v, path + (str(k),)) for k, v in node.items()}

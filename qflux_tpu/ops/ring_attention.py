@@ -8,6 +8,12 @@ chip — ring attention shards the SEQUENCE over an axis and rotates K/V chunks
 around the ring with `ppermute`, merging partial softmax results online
 (blockwise attention: each hop is numerically the flash-attention update).
 
+Memory: the custom VJP stores only (q, k, v, seg, out, lse) per shard —
+O(S_local) — and recomputes each hop's probability block in backward, exactly
+like the Pallas flash kernel (ops/flash_attention.py).  Backward rotates
+(k, v, dk, dv) around the ring: after n hops every dk/dv block is back at its
+home shard with all q-blocks' contributions accumulated.
+
 Usage (inside shard_map over a mesh with a sequence axis, e.g. "sp"):
 
     out = ring_attention(q, k, v, axis_name="sp", segment_ids=seg)
@@ -20,6 +26,7 @@ collective-permute of hop i+1.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -28,72 +35,135 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _block_update(q, k, v, q_seg, kv_seg, m, l, acc, scale):
-    """One flash-attention style partial update with [B,S,H,D] blocks."""
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+def _hop_scores(q, k_cur, q_seg, kv_seg, scale):
+    """[B,S,H,D]×[B,K,H,D] → masked logits [B,H,Q,K] (f32)."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cur,
+                   preferred_element_type=jnp.float32) * scale
     if q_seg is not None:
         ok = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg[:, :, None] != 0)
         s = jnp.where(ok[:, None], s, NEG_INF)
-    m_new = jnp.maximum(m, s.max(axis=-1))                      # [B,H,Q]
-    alpha = jnp.exp(m - m_new)
-    p = jnp.exp(s - m_new[..., None])                            # [B,H,Q,K]
-    l_new = alpha * l + p.sum(axis=-1)
-    pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)
-    acc_new = acc * alpha[..., None] + pv
-    return m_new, l_new, acc_new
+    return s
+
+
+def _ring_fwd(q, k, v, q_seg, axis_name, scale):
+    """Online-softmax over ring hops; returns (out [B,S,H,D], lse [B,H,S])."""
+    b, s_loc, h, d = q.shape
+    n = jax.lax.psum(1, axis_name)
+
+    m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
+    acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
+
+    def hop(carry, _):
+        m, l, acc, k_cur, v_cur, seg_cur = carry
+        s = _hop_scores(q, k_cur, q_seg, seg_cur, scale)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l = alpha * l + p.sum(axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v_cur.dtype), v_cur,
+                        preferred_element_type=jnp.float32)
+        acc = acc * alpha[..., None] + pv
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        seg_nxt = (jax.lax.ppermute(seg_cur, axis_name, perm)
+                   if seg_cur is not None else None)
+        return (m_new, l, acc, k_nxt, v_nxt, seg_nxt), None
+
+    (m, l, acc, _, _, _), _ = jax.lax.scan(
+        hop, (m0, l0, acc0, k, v, q_seg), None, length=n)
+    out = (acc / jnp.maximum(l, 1e-20)[..., None]).transpose(0, 2, 1, 3).astype(q.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-20))
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ring(q, k, v, q_seg, axis_name, scale):
+    out, _ = _ring_fwd(q, k, v, q_seg, axis_name, scale)
+    return out
+
+
+def _ring_vjp_fwd(q, k, v, q_seg, axis_name, scale):
+    out, lse = _ring_fwd(q, k, v, q_seg, axis_name, scale)
+    return out, (q, k, v, q_seg, out, lse)
+
+
+def _ring_vjp_bwd(axis_name, scale, res, do):
+    q, k, v, q_seg, out, lse = res
+    n = jax.lax.psum(1, axis_name)
+    # delta_i = Σ_d do·out per q row, [B,H,Q]
+    delta = jnp.einsum("bqhd,bqhd->bhq", do.astype(jnp.float32),
+                       out.astype(jnp.float32))
+    do_t = do.astype(jnp.float32)
+    dq0 = jnp.zeros(q.shape[:1] + (q.shape[2], q.shape[1], q.shape[3]),
+                    jnp.float32)  # [B,H,Q,D]
+
+    def hop(carry, _):
+        k_cur, v_cur, seg_cur, dk_cur, dv_cur, dq = carry
+        s = _hop_scores(q, k_cur, q_seg, seg_cur, scale)
+        p = jnp.exp(s - lse[..., None])                    # [B,H,Q,K] recompute
+        dp = jnp.einsum("bqhd,bkhd->bhqk", do_t, v_cur.astype(jnp.float32))
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum("bhqk,bkhd->bhqd", ds.astype(k_cur.dtype), k_cur,
+                             preferred_element_type=jnp.float32)
+        dk_cur = dk_cur + jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q.dtype), q,
+                                     preferred_element_type=jnp.float32)
+        dv_cur = dv_cur + jnp.einsum("bhqk,bqhd->bkhd", p.astype(do.dtype), do,
+                                     preferred_element_type=jnp.float32)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        seg_nxt = (jax.lax.ppermute(seg_cur, axis_name, perm)
+                   if seg_cur is not None else None)
+        return (k_nxt, v_nxt, seg_nxt, dk_nxt, dv_nxt, dq), None
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    (k_fin, v_fin, _, dk, dv, dq), _ = jax.lax.scan(
+        hop, (k, v, q_seg, dk0, dv0, dq0), None, length=n)
+    # after n hops dk/dv have rotated full circle — back at their home shard
+    dq = dq.transpose(0, 2, 1, 3).astype(q.dtype)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
                    segment_ids: Optional[jax.Array] = None,
                    scale: Optional[float] = None) -> jax.Array:
     """[B, S_local, H, D] → [B, S_local, H, D]; call under shard_map with the
-    sequence dim split over `axis_name`."""
-    b, s_loc, h, d = q.shape
-    n = jax.lax.psum(1, axis_name)
+    sequence dim split over `axis_name`. Differentiable with O(S_local)
+    backward memory (custom VJP recomputes per hop)."""
+    d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
-
-    m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
-    acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
-    kv_seg0 = segment_ids if segment_ids is not None else None
-
-    def hop(carry, _):
-        m, l, acc, k_cur, v_cur, seg_cur = carry
-        m, l, acc = _block_update(q, k_cur, v_cur, segment_ids, seg_cur, m, l, acc, scale)
-        perm = [(i, (i + 1) % n) for i in range(n)]
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        seg_nxt = (jax.lax.ppermute(seg_cur, axis_name, perm)
-                   if seg_cur is not None else None)
-        return (m, l, acc, k_nxt, v_nxt, seg_nxt), None
-
-    (m, l, acc, _, _, _), _ = jax.lax.scan(
-        hop, (m0, l0, acc0, k, v, kv_seg0), None, length=n)
-
-    out = acc / jnp.maximum(l, 1e-20)[..., None]                 # [B,H,Q,D]
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    if segment_ids is None:
+        segment_ids = jnp.ones(q.shape[:2], jnp.int32)
+    return _ring(q, k, v, segment_ids, axis_name, scale)
 
 
 def ring_attention_sharded(q, k, v, mesh, axis_name: str,
-                           segment_ids=None, scale=None):
+                           segment_ids=None, scale=None,
+                           batch_axes: tuple[str, ...] = ("dp", "fsdp")):
     """Convenience wrapper: takes GLOBAL [B, S, H, D] arrays and runs the ring
-    under shard_map with S split over `axis_name`."""
+    under shard_map with S split over `axis_name` (and batch over
+    `batch_axes`, so dp/fsdp sharding is preserved inside the ring)."""
     from jax.sharding import PartitionSpec as P
 
-    seq_spec = P(None, axis_name, None, None)
-    seg_spec = P(None, axis_name)
-    in_specs = (seq_spec, seq_spec, seq_spec) + ((seg_spec,) if segment_ids is not None else ())
+    baxes = tuple(a for a in batch_axes if mesh.shape.get(a, 1) > 1) or None
+    # heads shard over tp (independent across the ring — ppermute is sp-only)
+    haxis = "tp" if mesh.shape.get("tp", 1) > 1 else None
+    seq_spec = P(baxes, axis_name, haxis, None)
+    seg_spec = P(baxes, axis_name)
+    if segment_ids is None:
+        segment_ids = jnp.ones(q.shape[:2], jnp.int32)
 
-    if segment_ids is not None:
-        def fn(q_, k_, v_, seg_):
-            return ring_attention(q_, k_, v_, axis_name, segment_ids=seg_, scale=scale)
+    def fn(q_, k_, v_, seg_):
+        return ring_attention(q_, k_, v_, axis_name, segment_ids=seg_, scale=scale)
 
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=seq_spec, check_vma=False)(q, k, v, segment_ids)
-
-    def fn(q_, k_, v_):
-        return ring_attention(q_, k_, v_, axis_name, scale=scale)
-
-    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=seq_spec, check_vma=False)(q, k, v)
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(seq_spec, seq_spec, seq_spec, seg_spec),
+                         out_specs=seq_spec, check_vma=False)(q, k, v, segment_ids)

@@ -36,13 +36,16 @@ class MeshConfig:
     dp: int = 1
     fsdp: int = -1
     tp: int = 1
+    # sequence parallel (ring attention over ICI) — new vs the reference,
+    # SURVEY.md §2.8; ops/ring_attention.py
+    sp: int = 1
 
     # Multi-slice: axes listed here are laid out over DCN (slower inter-slice
     # links); all others ride ICI. dp is the natural DCN axis.
     dcn_axes: tuple[str, ...] = ()
 
     def resolve(self, n_devices: int) -> dict[str, int]:
-        sizes = {"dp": self.dp, "fsdp": self.fsdp, "tp": self.tp}
+        sizes = {"dp": self.dp, "fsdp": self.fsdp, "tp": self.tp, "sp": self.sp}
         wild = [k for k, v in sizes.items() if v == -1]
         if len(wild) > 1:
             raise ValueError(f"at most one mesh axis may be -1, got {wild}")
@@ -59,11 +62,20 @@ class MeshConfig:
         return sizes
 
 
-AXIS_ORDER = ("dp", "fsdp", "tp")
+AXIS_ORDER = ("dp", "fsdp", "tp", "sp")
 
 # Canonical compound axes used in PartitionSpecs: batch is sharded over both
-# data-like axes; "model" dims over tp.
+# data-like axes; "model" dims over tp; joint sequence over sp.
 BATCH_AXES = ("dp", "fsdp")
+
+# The mesh most recently built by build_mesh — lets leaf ops (ring attention's
+# shard_map) find the ambient mesh without threading it through every model
+# signature. One mesh per process is the JAX norm (one program, one mesh).
+_ACTIVE_MESH: list = [None]
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH[0]
 
 
 def build_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
@@ -77,21 +89,25 @@ def build_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     sizes = config.resolve(len(devices))
     shape = tuple(sizes[a] for a in AXIS_ORDER)
     n_used = math.prod(shape)
+    auto = (AxisType.Auto,) * len(AXIS_ORDER)
     if n_used < len(devices):
         devices = list(devices)[:n_used]
-        auto = (AxisType.Auto,) * len(AXIS_ORDER)
-        return Mesh(np.asarray(devices).reshape(shape), AXIS_ORDER, axis_types=auto)
+        mesh = Mesh(np.asarray(devices).reshape(shape), AXIS_ORDER, axis_types=auto)
+        _ACTIVE_MESH[0] = mesh
+        return mesh
     # Auto axis types: classic GSPMD propagation (jax 0.9 defaults to the new
     # Explicit sharding-in-types mode, which rejects ambiguous contractions
     # that the partitioner resolves fine on its own).
-    auto = (AxisType.Auto,) * len(AXIS_ORDER)
+    mesh = None
     if devices is jax.devices() or list(devices) == list(jax.devices()):
         try:
-            return jax.make_mesh(shape, AXIS_ORDER, axis_types=auto)
+            mesh = jax.make_mesh(shape, AXIS_ORDER, axis_types=auto)
         except (ValueError, RuntimeError):
             pass  # fall through to explicit construction (e.g. odd device sets)
-    arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, AXIS_ORDER, axis_types=auto)
+    if mesh is None:
+        mesh = Mesh(np.asarray(devices).reshape(shape), AXIS_ORDER, axis_types=auto)
+    _ACTIVE_MESH[0] = mesh
+    return mesh
 
 
 def local_batch_size(mesh: Mesh, global_batch_size: int) -> int:

@@ -82,7 +82,8 @@ class Trainer:
         self.config = config
         self.adapter_cls = resolve_symbol(ADAPTERS[config.trainer.value])
         self.mesh = build_mesh(MeshConfig(
-            dp=config.mesh.dp, fsdp=config.mesh.fsdp, tp=config.mesh.tp))
+            dp=config.mesh.dp, fsdp=config.mesh.fsdp, tp=config.mesh.tp,
+            sp=config.mesh.sp))
         self.scheduler = FlowMatchScheduler()
         self.fps = FpsLogger()
         self.global_step = 0
@@ -223,7 +224,7 @@ class Trainer:
             cfg.model.lora.pretrained_weight = str(cfg.resume)
         lora = self.build_lora()
         optimizer = self.build_optimizer()
-        criterion = self.build_criterion()
+        criterion = self._criterion = self.build_criterion()
         step_cfg = self._build_step_config()
         step_fn = make_train_step(self.adapter.predict_velocity, criterion, optimizer,
                                   step_cfg, mesh=self.mesh)
@@ -236,6 +237,11 @@ class Trainer:
         rows = model_summary_rows(self.bundle.dit_params, self.state.lora)
         self.logger.log_table("model_summary", rows, 0)
 
+        if cfg.train.async_checkpointing:
+            from qflux_tpu.utils.checkpoint import AsyncCheckpointer
+
+            self._async_ckpt = AsyncCheckpointer(self.output_dir / "orbax")
+
         rng = jax.random.PRNGKey(cfg.train.seed)
         ema_loss = None
         max_steps = cfg.train.max_train_steps
@@ -243,10 +249,21 @@ class Trainer:
         t_start = time.monotonic()
         done = False
         batch_sharding = NamedSharding(self.mesh, P(("dp", "fsdp")))
+        profiling = False
 
         for epoch in range(self.epoch, cfg.train.num_epochs):
             self.epoch = epoch
             for batch in dataloader:
+                if cfg.logging.profile_dir:
+                    # trace steps 2-4: past compile, short enough to view
+                    if self.global_step == 1 and not profiling:
+                        jax.profiler.start_trace(cfg.logging.profile_dir)
+                        profiling = True
+                    elif self.global_step == 4 and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logging.info("profiler trace written to %s",
+                                     cfg.logging.profile_dir)
                 emb = self._embeddings_for_batch(batch)
                 emb = self._device_batch(emb, batch_sharding)
                 self.state, metrics = step_fn(self.state, self.bundle.dit_params,
@@ -273,7 +290,11 @@ class Trainer:
                     break
             if done:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
         self.save_checkpoint(last=True)
+        if getattr(self, "_async_ckpt", None) is not None:
+            self._async_ckpt.wait()  # land in-flight saves before returning
         logging.info("fit done: %d steps in %.1fs", self.global_step,
                      time.monotonic() - t_start)
         self.logger.close()
@@ -328,7 +349,8 @@ class Trainer:
             parts.append(ctl_valid.astype(np.int32))
         emb["segment_ids"] = np.concatenate(parts, axis=1)
         emb["attention_mask"] = img_valid.astype(np.float32)  # token loss mask
-        if not isinstance(self.build_criterion(), AttentionMaskMseLoss):
+        crit = getattr(self, "_criterion", None) or self.build_criterion()
+        if not isinstance(crit, AttentionMaskMseLoss):
             logging.warning(
                 "multi-resolution batch with a non-token-masked loss (%s); "
                 "padded tokens will pollute the loss — set "
@@ -360,9 +382,17 @@ class Trainer:
         lora_host = jax.tree.map(np.asarray, self.state.lora)
         save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn,
                               head_dim=self.bundle.dit_cfg.attention_head_dim)
-        np.savez(ckpt_dir / "optimizer_state.npz", **{
-            "/".join(map(str, path)): np.asarray(leaf)
-            for path, leaf in _flatten_with_paths(self.state.opt_state)})
+        if getattr(self, "_async_ckpt", None) is not None:
+            # orbax async: device→host copy now, disk write off-thread; the
+            # optimizer npz below is skipped (reference saves synchronously on
+            # the train thread, base_trainer.py:827-875)
+            self._async_ckpt.save(self.global_step,
+                                  {"opt_state": self.state.opt_state,
+                                   "lora": self.state.lora})
+        else:
+            np.savez(ckpt_dir / "optimizer_state.npz", **{
+                "/".join(map(str, path)): np.asarray(leaf)
+                for path, leaf in _flatten_with_paths(self.state.opt_state)})
         (ckpt_dir / "state.json").write_text(json.dumps({
             "global_step": self.global_step, "epoch": self.epoch, "is_last": last,
             "git": get_git_info(),
@@ -376,6 +406,21 @@ class Trainer:
             st = json.loads(state_file.read_text())
             self.global_step = st.get("global_step", 0)
             self.epoch = st.get("epoch", 0)
+        orbax_dir = ckpt.parent / "orbax"
+        if orbax_dir.exists():
+            from qflux_tpu.utils.checkpoint import AsyncCheckpointer
+
+            mngr = AsyncCheckpointer(orbax_dir)
+            restored = mngr.restore(
+                self.global_step or None,
+                template={"opt_state": self.state.opt_state,
+                          "lora": self.state.lora})
+            if restored is not None:
+                self.state = self.state.replace(
+                    lora=jax.tree.map(jnp.asarray, restored["lora"]),
+                    opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+                    step=jnp.asarray(self.global_step, jnp.int32))
+                return
         opt_file = ckpt / "optimizer_state.npz"
         if opt_file.exists():
             flat = dict(np.load(opt_file))
@@ -541,26 +586,94 @@ class Trainer:
                 self.bundle, lat_i, gh * vae_scale2, gw * vae_scale2)[0])
         return outs
 
-    def run_validation(self):
-        """In-training sampling on configured validation samples (reference
-        trainer/validation.py:332-478, single-program version: the mesh IS the
-        distribution, so there is no gather choreography)."""
-        samples = self.config.validation.samples
-        if not samples:
-            return
-        for i, s in enumerate(samples):
-            try:
-                from qflux_tpu.data.dataset import _read_image
+    # ------------------------------------------------------------------
+    # validation
 
-                controls = [_read_image(p) for p in s.get("images", [])]
-                img = self.predict(controls, s.get("prompt", ""),
-                                   num_inference_steps=self.config.validation.num_inference_steps)
-                self.logger.log_images(f"validation/sample_{i}", [im for im in img],
-                                       self.global_step)
-                self.logger.log_text(f"validation/prompt_{i}", s.get("prompt", ""),
-                                     self.global_step)
+    def _load_validation_samples(self) -> list[dict]:
+        """Config-list or dataset-sourced validation samples (reference
+        validation.py:68-152 _load_validation_samples)."""
+        vcfg = self.config.validation
+        out = []
+        if vcfg.samples:
+            from qflux_tpu.data.dataset import _read_image
+
+            for s in vcfg.samples:
+                out.append({"prompt": s.get("prompt", ""),
+                            "images": [_read_image(p) for p in s.get("images", [])],
+                            "height": s.get("height"), "width": s.get("width")})
+            return out
+        if vcfg.dataset:
+            from qflux_tpu.utils.instantiate import instantiate_class
+
+            init_args = dict(vcfg.dataset.get("init_args", {}))
+            init_args.pop("use_cache", None)
+            init_args.pop("cache_dir", None)
+            ds = instantiate_class(vcfg.dataset["class_path"], **init_args)
+            for i in range(min(vcfg.max_samples, len(ds))):
+                item = ds[i]
+                imgs = [np.asarray(item[k]) for k in ("control",)
+                        if k in item] + [np.asarray(item[k]) for k in sorted(item)
+                                         if k.startswith("control_")]
+                out.append({"prompt": item.get("prompt", ""), "images": imgs,
+                            "height": np.shape(item["image"])[0],
+                            "width": np.shape(item["image"])[1]})
+        return out
+
+    def setup_validation(self):
+        """Precompute validation embeddings ONCE at fit start; each in-training
+        validation step reuses them (reference validation.py:217-279
+        prepare_validation_embeddings). Samples are round-robin sharded across
+        processes (reference validation.py:281-294)."""
+        from qflux_tpu.parallel.collectives import shard_validation_samples
+
+        samples = self._load_validation_samples()
+        my_idx = set(shard_validation_samples(len(samples)))
+        self._validation_embeddings = []
+        for i, s in enumerate(samples):
+            if i not in my_idx:
+                continue
+            from qflux_tpu.data.preprocess import ImageProcessor
+
+            proc = ImageProcessor(self.config.data.processor)
+            processed = [proc.process_image(np.asarray(im), f"control_{j}")
+                         for j, im in enumerate(s["images"])]
+            h = s.get("height") or (processed[0].shape[0] if processed else 512)
+            w = s.get("width") or (processed[0].shape[1] if processed else 512)
+            pixel_batch = {"image": np.zeros((1, h, w, 3), np.uint8),
+                           "prompt": [s["prompt"]]}
+            for j, im in enumerate(processed):
+                key = "control" if j == 0 else f"control_{j}"
+                pixel_batch[key] = im[None]
+            emb = self.adapter.prepare_embeddings(
+                self.bundle, pixel_batch, self.config.predict.max_sequence_length)
+            emb.pop("image_latents", None)
+            self._validation_embeddings.append(
+                {"index": i, "prompt": s["prompt"], "emb": emb,
+                 "height": h, "width": w})
+
+    def run_validation(self):
+        """In-training sampling from the precomputed embeddings (reference
+        trainer/validation.py:332-478; the mesh IS the distribution, so there
+        is no gather choreography). Fails loud unless
+        validation.fail_on_error=false."""
+        if not getattr(self, "_validation_embeddings", None):
+            if self.config.validation.samples or self.config.validation.dataset:
+                self.setup_validation()
+            if not getattr(self, "_validation_embeddings", None):
+                return
+        for rec in self._validation_embeddings:
+            try:
+                img = self.predict_from_embeddings(
+                    dict(rec["emb"]), rec["height"], rec["width"],
+                    num_inference_steps=self.config.validation.num_inference_steps)
+                self.logger.log_images(f"validation/sample_{rec['index']}",
+                                       [im for im in img], self.global_step)
+                self.logger.log_text(f"validation/prompt_{rec['index']}",
+                                     rec["prompt"], self.global_step)
             except Exception as e:
-                logging.warning("validation sample %d failed: %s", i, e)
+                if self.config.validation.fail_on_error:
+                    raise
+                logging.warning("validation sample %d failed: %s", rec["index"], e)
 
 
 def _flatten_with_paths(tree):

@@ -33,7 +33,8 @@ from qflux_tpu.models.flux import transformer as flux
 from qflux_tpu.models.flux import vae as flux_vae
 from qflux_tpu.models.flux2 import text_encoder as qwen3
 from qflux_tpu.ops.packing import pack_latents, unpack_latents
-from qflux_tpu.trainer.flux_kontext import ModelBundle, SimpleTokenizer
+from qflux_tpu.trainer.flux_kontext import (ModelBundle, SimpleTokenizer,
+                                             remat_policy_from_config)
 from qflux_tpu.utils.lora_io import flux_module_name, flux_tree_path
 
 
@@ -82,6 +83,7 @@ class Flux2KleinAdapter:
     def load(cls, config: Config, dtype=jnp.bfloat16):
         variant = config.model.variant
         remat = config.mesh.remat != "none"
+        policy = remat_policy_from_config(config.mesh.remat)
         if variant == "test":
             t5cfg = qwen3.Qwen3Config.tiny()
             vae_cfg = flux_vae.VAEConfig.tiny()
@@ -104,7 +106,8 @@ class Flux2KleinAdapter:
                 text_params={"qwen3": qwen3.init(jax.random.fold_in(key, 2), t5cfg)},
                 tokenizers={"qwen3": SimpleTokenizer(t5cfg.vocab_size - 2, 64)},
             )
-            adapter = cls(dit_cfg, remat=remat, vae_scale=vae_cfg.downscale,
+            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+                          vae_scale=vae_cfg.downscale,
                           hidden_states_layers=(1, 2, 3))
             return adapter, bundle
 
@@ -116,7 +119,7 @@ class Flux2KleinAdapter:
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
         dit_cfg = flux2_config()
-        adapter = cls(dit_cfg, remat=remat)
+        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
 
         def _load_dir(p):
             sd = {}

@@ -59,6 +59,11 @@ class ModelBundle:
     tokenizers: dict = dataclasses.field(default_factory=dict)
 
 
+def remat_policy_from_config(remat_cfg: str) -> str:
+    """mesh.remat YAML value → transformer remat_policy name."""
+    return {"minimal": "dots", "full": "full", "flash": "flash"}.get(remat_cfg, "flash")
+
+
 class SimpleTokenizer:
     """Hash-based fallback tokenizer for offline/test runs (real runs load the
     HF tokenizers from the checkpoint directory)."""
@@ -77,6 +82,11 @@ class SimpleTokenizer:
             if self.eos is not None:
                 out[i, len(toks)] = self.eos
         return out
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        """Hashing is one-way; emit placeholder words so greedy-decode wiring
+        (VLM prompt enhancer) stays testable offline."""
+        return " ".join(f"tok{int(i)}" for i in ids if int(i) != 0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,9 +117,10 @@ class FluxKontextAdapter:
         """
         variant = config.model.variant
         remat = config.mesh.remat != "none"
+        policy = remat_policy_from_config(config.mesh.remat)
         if variant == "test":
             dit_cfg = flux.FluxConfig.tiny()
-            adapter = cls(dit_cfg, remat=remat)
+            adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
             key = jax.random.PRNGKey(0)
             bundle = ModelBundle(
                 dit_cfg=dit_cfg,
@@ -131,7 +142,8 @@ class FluxKontextAdapter:
             }
             # tiny VAE only downsamples 2x; tiny adapter keeps the real /8 ↔
             # pack conventions by treating its scale as the tiny VAE's
-            adapter = cls(dit_cfg, remat=remat, vae_scale=bundle.vae_cfg.downscale)
+            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+                          vae_scale=bundle.vae_cfg.downscale)
             return adapter, bundle
 
         from qflux_tpu.models.porting import (
@@ -144,7 +156,7 @@ class FluxKontextAdapter:
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
         dit_cfg = flux.FluxConfig()
-        adapter = cls(dit_cfg, remat=remat)
+        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
 
         def _load_dir(p: Path) -> dict[str, np.ndarray]:
             sd: dict[str, np.ndarray] = {}
@@ -370,9 +382,6 @@ class FluxKontextAdapter:
                 np.ones(s_txt, np.int32),
                 (np.arange(s_tgt) < n_tgt).astype(np.int32),
                 (np.arange(s_ctl) < n_ctl).astype(np.int32)]))
-            gh = int(round((n_tgt * full_ids[:n_tgt, 1].max() /
-                            max(full_ids[:n_tgt, 2].max(), 1)) ** 0.5)) if n_tgt else 0
-            grids.append(None)  # filled below from ids
         out["img_ids"] = np.stack(ids)
         out["segment_ids"] = np.stack(segs)
         out["attention_mask"] = (np.arange(s_tgt)[None] <

@@ -28,7 +28,8 @@ from qflux_tpu.models.qwen import transformer as qwen_dit
 from qflux_tpu.models.qwen import vae as qwen_vae
 from qflux_tpu.models.qwen import vl_encoder as vl
 from qflux_tpu.ops.packing import pack_latents, unpack_latents
-from qflux_tpu.trainer.flux_kontext import ModelBundle, SimpleTokenizer
+from qflux_tpu.trainer.flux_kontext import (ModelBundle, SimpleTokenizer,
+                                             remat_policy_from_config)
 
 # diffusers QwenImageEditPipeline template (drop_idx = 64 template-prefix tokens)
 EDIT_TEMPLATE = (
@@ -101,6 +102,7 @@ class QwenImageEditAdapter:
     def load(cls, config: Config, dtype=jnp.bfloat16):
         variant = config.model.variant
         remat = config.mesh.remat != "none"
+        policy = remat_policy_from_config(config.mesh.remat)
         if variant == "test":
             dit_cfg = qwen_dit.QwenImageConfig.tiny()
             key = jax.random.PRNGKey(0)
@@ -124,7 +126,8 @@ class QwenImageEditAdapter:
                 },
                 tokenizers={"vl": SimpleTokenizer(480, 512)},
             )
-            adapter = cls(dit_cfg, remat=remat, vae_scale=vae_cfg.downscale)
+            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+                          vae_scale=vae_cfg.downscale)
             return adapter, bundle
 
         from qflux_tpu.models.porting import load_safetensors
@@ -136,7 +139,7 @@ class QwenImageEditAdapter:
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
         dit_cfg = qwen_dit.QwenImageConfig()
-        adapter = cls(dit_cfg, remat=remat)
+        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
 
         def _load_dir(p: Path) -> dict[str, np.ndarray]:
             sd: dict[str, np.ndarray] = {}

@@ -60,16 +60,6 @@ class QwenImageEditPlusAdapter(QwenImageEditAdapter):
             for i in range(n_images))
         return self.template.format(pics + prompt)
 
-    def prepare_embeddings(self, bundle, batch, max_sequence_length: int = 1024) -> dict:
-        # shrink the VL condition copies before the base encode path
-        batch = dict(batch)
-        for key in list(batch):
-            if key == "control" or (key.startswith("control_") and
-                                    isinstance(batch[key], np.ndarray)):
-                pass  # VAE copies stay full-res; the VL copies are derived
-                      # inside encode_prompt via _vl_image_of
-        return super().prepare_embeddings(bundle, batch, max_sequence_length)
-
     def encode_prompt(self, bundle, prompts, vl_images, max_sequence_length: int = 1024):
         small = [[resize_condition_image(np.asarray(im)) for im in images]
                  for images in vl_images]

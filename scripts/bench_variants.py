@@ -1,0 +1,175 @@
+"""Perf experiment harness: time train-step variants on the real chip.
+
+Usage: python scripts/bench_variants.py full flash   (policies to compare)
+Mirrors bench.py's workload (full 19+38 FLUX, int8 base, 512², bs=1) but
+parameterized over remat policy / attention impl / batch size via argv
+flags like bs=2 attn=xla layers=bench.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _synthetic_int4_params(cfg, init_fn):
+    """Full-model tree with grouped-int4 kernels, built on device (weight
+    upload through the tunnel is impractical; timing is value-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(lambda k: init_fn(k, cfg, dtype=jnp.bfloat16),
+                            jax.random.PRNGKey(0))
+
+    def build(node):
+        if isinstance(node, dict):
+            if "kernel" in node and not isinstance(node["kernel"], dict):
+                k = node["kernel"]
+                if k.ndim >= 2 and k.shape[-2] % 128 == 0:
+                    out = {kk: jnp.zeros(v.shape, jnp.bfloat16)
+                           for kk, v in node.items() if kk != "kernel"}
+                    out["kernel_q4"] = jnp.ones(
+                        k.shape[:-2] + (k.shape[-2] // 2, k.shape[-1]), jnp.int8)
+                    out["kernel_scale"] = jnp.full(
+                        k.shape[:-2] + (k.shape[-2] // 128, 1, k.shape[-1]),
+                        1e-2, jnp.float32)
+                    return out
+            return {kk: build(v) for kk, v in node.items()}
+        return jnp.zeros(node.shape, jnp.bfloat16)
+
+    return build(shapes)
+
+
+def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
+    """FULL 60-block Qwen-Image-Edit DiT (20B) train step, int4 base.
+
+    The measured (not extrapolated) Qwen number VERDICT.md asked for: 20B at
+    int4 = ~10 GB weights fits one 16 GB v5e."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from qflux_tpu.losses import MseLoss
+    from qflux_tpu.models.qwen import transformer as qwen
+    from qflux_tpu.ops.layers import build_lora_tree
+    from qflux_tpu.ops.rope import qwen_rope
+    from qflux_tpu.trainer.train_step import TrainState, TrainStepConfig, make_train_step
+
+    cfg = qwen.QwenImageConfig()  # full 60 layers; 20B → int4 only fits
+    params = _synthetic_int4_params(cfg, qwen.init)
+    lora = build_lora_tree(
+        jax.random.PRNGKey(1), params,
+        [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
+        rank=16, alpha=16, dtype=jnp.bfloat16)
+
+    # 512²: patch=2 on /8 latents → 32×32=1024 img tokens, same control, 256 txt
+    gh = gw = 32
+    s_img = gh * gw
+    txt_len = 256
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    img_shapes = [(1, gh, gw), (1, gh, gw)]
+    rope = qwen_rope(img_shapes, txt_len, cfg.axes_dims_rope, scale_rope=cfg.scale_rope)
+    batch = {
+        "image_latents": jax.random.normal(ks[0], (bs, s_img, cfg.in_channels), jnp.bfloat16),
+        "control_latents": jax.random.normal(ks[1], (bs, s_img, cfg.in_channels), jnp.bfloat16),
+        "prompt_embeds": jax.random.normal(ks[2], (bs, txt_len, cfg.joint_attention_dim), jnp.bfloat16),
+        "rope_tables": tuple(jnp.asarray(r) for r in rope),
+    }
+
+    def predict_velocity(params, batch, noisy, sigma):
+        latents = jnp.concatenate([noisy, batch["control_latents"]], axis=1)
+        out = qwen.forward(params, cfg, latents, batch["prompt_embeds"],
+                           sigma, img_shapes, rope=batch["rope_tables"],
+                           attn_impl="pallas", remat=True, remat_policy=policy)
+        return out[:, :s_img, : cfg.in_channels]
+
+    opt = optax.adamw(1e-4)
+    step = make_train_step(predict_velocity, MseLoss(), opt, TrainStepConfig())
+    state = TrainState.create(lora, opt)
+    rng = jax.random.PRNGKey(0)
+    t_c = time.perf_counter()
+    try:
+        state, m = step(state, params, batch, rng)
+        _ = float(m["loss"])
+    except Exception as e:
+        print(f"qwen policy={policy} bs={bs} {quant}: FAILED {type(e).__name__}: {str(e)[:300]}")
+        return
+    compile_s = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, params, batch, rng)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    flops = 3.0 * cfg.matmul_flops(2 * s_img, txt_len) * bs
+    print(f"qwen FULL 60-block policy={policy} bs={bs} {quant}: "
+          f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  mfu~{flops/dt/197e12:.2f} "
+          f"(compile {compile_s:.0f}s)", flush=True)
+
+
+def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from qflux_tpu.losses import MseLoss
+    from qflux_tpu.models.flux import transformer as flux
+    from qflux_tpu.ops.layers import build_lora_tree
+    from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+    from qflux_tpu.trainer.train_step import TrainState, TrainStepConfig, make_train_step
+    from __graft_entry__ import _flux_inputs
+    from bench import _synthetic_int8_params
+
+    if layers == "full":
+        cfg = flux.FluxConfig()
+        params = _synthetic_int8_params(cfg)
+    else:
+        cfg = flux.FluxConfig.bench()
+        params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    lora = build_lora_tree(
+        jax.random.PRNGKey(1), params,
+        [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
+        rank=16, alpha=16, dtype=jnp.bfloat16)
+    adapter = FluxKontextAdapter(cfg, attn_impl=attn, remat=policy != "none",
+                                 remat_policy=policy if policy != "none" else "full")
+    opt = optax.adamw(1e-4)
+    step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
+    state = TrainState.create(lora, opt)
+    batch = _flux_inputs(cfg, batch=bs, grid_h=32, grid_w=32, txt_len=512,
+                         dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    t_c = time.perf_counter()
+    try:
+        state, m = step(state, params, batch, rng)
+        _ = float(m["loss"])  # scalar fetch actually blocks over the tunnel
+    except Exception as e:
+        print(f"variant policy={policy} bs={bs} attn={attn}: FAILED {type(e).__name__}: {str(e)[:300]}")
+        return
+    compile_s = time.perf_counter() - t_c
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, params, batch, rng)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    print(f"variant policy={policy:8s} bs={bs} attn={attn:6s} layers={layers}: "
+          f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  (compile {compile_s:.0f}s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    policies = [a for a in sys.argv[1:] if "=" not in a] or ["full", "flash"]
+    for pol in policies:
+        if kv.get("model") == "qwen":
+            run_qwen_variant(pol, int(kv.get("bs", 1)), kv.get("quant", "int4"),
+                             int(kv.get("iters", 6)))
+        else:
+            run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
+                        kv.get("layers", "full"), int(kv.get("iters", 8)))
