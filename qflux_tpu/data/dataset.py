@@ -113,6 +113,7 @@ class ImageDataset:
         self.selected_control_indexes = (list(selected_control_indexes)
                                          if selected_control_indexes else None)
         self._rng = np.random.default_rng(seed)
+        self._rng_lock = __import__("threading").Lock()
         self.samples: list[dict] = []
 
         paths = [dataset_path] if isinstance(dataset_path, (str, Path)) else list(dataset_path or [])
@@ -263,11 +264,12 @@ class ImageDataset:
         # prompt and the control context; caption_dropout drops the prompt only
         # (reference data/config.py:383 declares the knob; applied here at item
         # level — control latents/pixels are zeroed so shapes stay static)
+        with self._rng_lock:  # getitem may run on loader worker threads
+            u1, u2 = float(self._rng.random()), float(self._rng.random())
         drop_all = (self.prompt_image_dropout_rate > 0
-                    and float(self._rng.random()) < self.prompt_image_dropout_rate)
+                    and u1 < self.prompt_image_dropout_rate)
         drop_caption = drop_all or (
-            self.caption_dropout_rate > 0
-            and float(self._rng.random()) < self.caption_dropout_rate)
+            self.caption_dropout_rate > 0 and u2 < self.caption_dropout_rate)
 
         if self.use_cache and self.cache_manager and self.cache_manager.exists(hashes["main_hash"]):
             cached = self.cache_manager.load(hashes["main_hash"],

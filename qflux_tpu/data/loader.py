@@ -7,8 +7,11 @@ data/dataset.py:698-753).  Here batching is a plain Python iterator with:
     bucket key so every emitted batch has ONE static shape — the jitted step
     compiles once per bucket instead of re-tracing (the TPU-native answer to
     the reference's multi-resolution dynamic batches);
-  * background-thread prefetch (the dataset's cv2/cache IO overlaps device
-    compute);
+  * multi-worker item decode: `num_workers` host threads run the dataset's
+    cv2/cache IO in parallel (cv2 and np release the GIL), with a bounded
+    window of in-flight batches; batch ORDER stays deterministic (the
+    reference's torch DataLoader num_workers analogue);
+  * background-thread prefetch (IO overlaps device compute);
   * deterministic shuffling from a seed.
 """
 
@@ -16,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from typing import Iterator
 
 import numpy as np
@@ -27,7 +31,7 @@ from qflux_tpu.data.dataset import ImageDataset
 class DataLoader:
     def __init__(self, dataset: ImageDataset, batch_size: int = 1, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, bucket_by_shape: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,6 +39,7 @@ class DataLoader:
         self.seed = seed
         self.bucket_by_shape = bucket_by_shape
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -83,15 +88,35 @@ class DataLoader:
         batches = self._index_batches()
         self._epoch += 1
 
+        def fetch(i: int):
+            rec = self.dataset.samples[i]
+            return rec.pop("_first_item", None) or self.dataset[i]
+
         def produce(q: queue.Queue):
             try:
-                for batch_idx in batches:
-                    items = []
-                    for i in batch_idx:
-                        rec = self.dataset.samples[i]
-                        item = rec.pop("_first_item", None) or self.dataset[i]
-                        items.append(item)
-                    q.put(collate(items))
+                if self.num_workers > 1:
+                    # parallel item decode, deterministic batch order, bounded
+                    # in-flight window of prefetch+1 batches
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.num_workers) as ex:
+                        it = iter(batches)
+                        pending: deque = deque()
+
+                        def submit_next():
+                            b = next(it, None)
+                            if b is not None:
+                                pending.append([ex.submit(fetch, i) for i in b])
+
+                        for _ in range(max(self.prefetch, 1) + 1):
+                            submit_next()
+                        while pending:
+                            futs = pending.popleft()
+                            q.put(collate([f.result() for f in futs]))
+                            submit_next()
+                else:
+                    for batch_idx in batches:
+                        q.put(collate([fetch(i) for i in batch_idx]))
             except Exception as e:  # surface worker errors in the consumer
                 q.put(e)
             q.put(None)

@@ -113,7 +113,8 @@ def main(argv=None):
         dl = DataLoader(dataset, batch_size=config.data.batch_size,
                         shuffle=config.data.shuffle, drop_last=config.data.drop_last,
                         seed=config.train.seed,
-                        bucket_by_shape=config.data.bucket_by_shape)
+                        bucket_by_shape=config.data.bucket_by_shape,
+                        num_workers=config.data.num_workers)
         trainer.fit(dl)
 
 

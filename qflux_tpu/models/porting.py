@@ -107,11 +107,14 @@ def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
         "context_embedder": _lin(sd, "context_embedder", dtype),
         "time_in": {"in": _lin(sd, "time_text_embed.timestep_embedder.linear_1", dtype),
                     "out": _lin(sd, "time_text_embed.timestep_embedder.linear_2", dtype)},
-        "pooled_in": {"in": _lin(sd, "time_text_embed.text_embedder.linear_1", dtype),
-                      "out": _lin(sd, "time_text_embed.text_embedder.linear_2", dtype)},
         "norm_out": {"proj": _lin(sd, "norm_out.linear", dtype)},
         "proj_out": _lin(sd, "proj_out", dtype),
     }
+    if "time_text_embed.text_embedder.linear_1.weight" in sd:
+        # absent on FLUX.2-Klein (pooled_projection_dim=0)
+        p["pooled_in"] = {
+            "in": _lin(sd, "time_text_embed.text_embedder.linear_1", dtype),
+            "out": _lin(sd, "time_text_embed.text_embedder.linear_2", dtype)}
     if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
         p["guidance_in"] = {
             "in": _lin(sd, "time_text_embed.guidance_embedder.linear_1", dtype),
@@ -267,3 +270,45 @@ def convert_t5_encoder(sd: Mapping[str, np.ndarray], num_layers=24, dtype=np.flo
                    "wo": _lin_nobias(sd, f"{b}.layer.1.DenseReluDense.wo", dtype)},
         })
     return p
+
+
+# ---------------------------------------------------------------------------
+# converter coverage auditing
+
+class TrackingStateDict(dict):
+    """dict that records key reads, so converters can be audited: every
+    checkpoint tensor must be consumed (unconsumed keys = renamed/missing
+    parameters that would silently stay random-init)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.accessed: set = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in self:
+            self.accessed.add(k)
+        return super().get(k, default)
+
+
+def convert_with_coverage(convert_fn, sd, *args, strict: bool = False, **kw):
+    """Run a converter and report unconsumed checkpoint keys.
+
+    strict=True raises (scripts/port_weights.py); otherwise logs a warning
+    (adapter load time). Returns (tree, unconsumed_keys)."""
+    import logging
+
+    tsd = TrackingStateDict(sd)
+    tree = convert_fn(tsd, *args, **kw)
+    unconsumed = sorted(set(sd) - tsd.accessed)
+    if unconsumed:
+        msg = (f"{len(unconsumed)}/{len(sd)} checkpoint tensors NOT consumed by "
+               f"{getattr(convert_fn, '__name__', convert_fn)}: "
+               f"{unconsumed[:8]}{'...' if len(unconsumed) > 8 else ''}")
+        if strict:
+            raise ValueError(msg)
+        logging.warning(msg)
+    return tree, unconsumed

@@ -51,6 +51,24 @@ def flux2_config(**overrides) -> flux.FluxConfig:
     return flux.FluxConfig(**base)
 
 
+def flux2_config_from_json(path) -> flux.FluxConfig:
+    """Derive the DiT topology from the checkpoint's diffusers config.json
+    instead of asserting the klein-4B defaults (the reference delegates this
+    to diffusers from_pretrained, flux2_klein_loader.py:92-140)."""
+    import json
+
+    raw = json.loads(Path(path).read_text())
+    keys = ("num_layers", "num_single_layers", "attention_head_dim",
+            "num_attention_heads", "joint_attention_dim", "in_channels",
+            "out_channels", "patch_size", "guidance_embeds")
+    overrides = {k: raw[k] for k in keys if k in raw and raw[k] is not None}
+    if raw.get("axes_dims_rope"):
+        overrides["axes_dims_rope"] = tuple(raw["axes_dims_rope"])
+    if raw.get("pooled_projection_dim") is not None:
+        overrides["pooled_projection_dim"] = raw["pooled_projection_dim"]
+    return flux2_config(**overrides)
+
+
 def latent_ids_4d(height: int, width: int, set_id: int = 0) -> np.ndarray:
     """[(h·w), 4] ids (t, h, w, l) — cartesian_prod layout (reference :268-284)."""
     ids = np.zeros((height, width, 4), np.float32)
@@ -114,11 +132,14 @@ class Flux2KleinAdapter:
         from qflux_tpu.models.porting import (
             convert_flux_transformer,
             convert_flux_vae,
+            convert_with_coverage,
             load_safetensors,
         )
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
-        dit_cfg = flux2_config()
+        dit_dir = Path(config.model.dit_path or root / "transformer")
+        cfg_json = (dit_dir if dit_dir.is_dir() else dit_dir.parent) / "config.json"
+        dit_cfg = flux2_config_from_json(cfg_json) if cfg_json.exists() else flux2_config()
         adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
 
         def _load_dir(p):
@@ -130,12 +151,13 @@ class Flux2KleinAdapter:
                 raise FileNotFoundError(f"no safetensors under {p}")
             return sd
 
-        dit_sd = _load_dir(config.model.dit_path or root / "transformer")
+        dit_sd = _load_dir(dit_dir)
+        dit_tree, _ = convert_with_coverage(
+            convert_flux_transformer, dit_sd, dit_cfg.num_layers,
+            dit_cfg.num_single_layers, head_dim=dit_cfg.attention_head_dim)
         bundle = ModelBundle(
             dit_cfg=dit_cfg,
-            dit_params=jax.tree.map(lambda x: jnp.asarray(x, dtype),
-                                    convert_flux_transformer(dit_sd, dit_cfg.num_layers,
-                                                             dit_cfg.num_single_layers)),
+            dit_params=jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_tree),
         )
         vae_path = config.model.vae_path or root / "vae"
         if Path(vae_path).exists():

@@ -79,12 +79,18 @@ def main(argv=None):
     else:
         from qflux_tpu.models.flux2.text_encoder import Qwen3Config, convert_qwen3
         from qflux_tpu.models.porting import convert_flux_transformer, convert_flux_vae
-        from qflux_tpu.trainer.flux2_klein import flux2_config
+        from qflux_tpu.trainer.flux2_klein import flux2_config, flux2_config_from_json
 
-        cfg = flux2_config()
+        cfg_json = root / "transformer" / "config.json"
+        cfg = flux2_config_from_json(cfg_json) if cfg_json.exists() else flux2_config()
+        print(f"transformer topology: {cfg.num_layers}+{cfg.num_single_layers} layers, "
+              f"{cfg.num_attention_heads}x{cfg.attention_head_dim} heads"
+              + (" (from config.json)" if cfg_json.exists() else " (klein-4B defaults)"))
         jobs = [
             ("transformer", root / "transformer",
-             lambda sd: convert_flux_transformer(sd, cfg.num_layers, cfg.num_single_layers)),
+             lambda sd: convert_flux_transformer(
+                 sd, cfg.num_layers, cfg.num_single_layers,
+                 head_dim=cfg.attention_head_dim)),
             ("vae", root / "vae", convert_flux_vae),
             ("text_encoder (Qwen3)", root / "text_encoder",
              lambda sd: convert_qwen3(sd, Qwen3Config().num_layers)),
@@ -93,9 +99,13 @@ def main(argv=None):
     failures = 0
     for name, path, fn in jobs:
         try:
+            from qflux_tpu.models.porting import convert_with_coverage
+
             sd = _load_dir(path)
-            tree = fn(sd)
-            print(f"{name:28s}: {len(sd):5d} tensors -> {_count(tree):,} params  OK")
+            # strict: every checkpoint tensor must be consumed; a missing
+            # expected tensor raises KeyError inside the converter
+            tree, _ = convert_with_coverage(fn, sd, strict=True)
+            print(f"{name:28s}: {len(sd):5d} tensors -> {_count(tree):,} params  OK (full coverage)")
         except Exception as e:
             failures += 1
             print(f"{name:28s}: FAILED — {type(e).__name__}: {e}")

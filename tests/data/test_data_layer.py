@@ -187,3 +187,24 @@ def test_loader_bucketing(tmp_image_dir):
     assert total == 3
     for b in batches:
         assert b["image"].ndim == 4
+
+
+def test_loader_multiworker_matches_single(tmp_image_dir):
+    """num_workers>1 must yield the same batches in the same order."""
+    from qflux_tpu.config import ProcessorSection
+    from qflux_tpu.data.dataset import ImageDataset
+    from qflux_tpu.data.loader import DataLoader
+    from qflux_tpu.data.preprocess import ImageProcessor
+
+    proc = ImageProcessor(ProcessorSection(process_type="resize",
+                                           target_size=[32, 48]))
+    ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    b1 = list(DataLoader(ds, batch_size=2, shuffle=True, drop_last=False,
+                         seed=7, num_workers=1))
+    ds2 = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    b4 = list(DataLoader(ds2, batch_size=2, shuffle=True, drop_last=False,
+                         seed=7, num_workers=4))
+    assert len(b1) == len(b4)
+    for x, y in zip(b1, b4):
+        assert x["prompt"] == y["prompt"]
+        np.testing.assert_array_equal(np.asarray(x["image"]), np.asarray(y["image"]))
