@@ -65,6 +65,21 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
     Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
     dequantized inline — XLA fuses the scale multiply into the matmul."""
+    if "kernel_q_dyn" in p:
+        # W8A8-dynamic: int8×int8 on the MXU, per-row activation scales
+        from qflux_tpu.ops.quant import dyn_int8_matmul
+
+        y = dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
+        if "lora" in p:
+            la, lb = p["lora"]["a"], p["lora"]["b"]
+            scaling = p["lora"].get("scaling", 1.0)
+            y = y + jnp.dot(
+                jnp.dot(x, la.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
+                lb.astype(x.dtype), preferred_element_type=jnp.float32,
+            ) * (scaling * lora_scale)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     if "kernel_q4" in p:
         from qflux_tpu.ops.quant import dequantize_kernel_int4
 
@@ -126,7 +141,7 @@ def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
         if "kernel" in params and not isinstance(params["kernel"], dict):
             yield prefix, params
             return
-        if "kernel_q" in params or "kernel_q4" in params:
+        if any(k in params for k in ("kernel_q", "kernel_q4", "kernel_q_dyn")):
             yield prefix, params
             return
         for k, v in params.items():
@@ -156,7 +171,7 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
         elif "kernel_q4" in node:
             kernel = node["kernel_q4"]
         else:
-            kernel = node["kernel_q"]
+            kernel = node.get("kernel_q", node.get("kernel_q_dyn"))
         *lead, in_dim, out_dim = kernel.shape
         if "kernel_q4" in node and "kernel" not in node:
             in_dim *= 2  # two int4 rows packed per int8 byte

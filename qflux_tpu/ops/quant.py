@@ -1,4 +1,4 @@
-"""Weight-only quantization for frozen base params.
+"""Weight-only + dynamic-activation quantization for frozen base params.
 
 TPU-native analogue of the reference's quantization layer (reference
 models/quantize.py: transformer-engine fp8 Linear swap at :83-166, bnb
@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import re
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_kernel(kernel, dtype="int8"):
@@ -76,6 +78,57 @@ def dequantize_kernel(q, scale, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# W8A8-dynamic: int8×int8 on the MXU (v5e: 394 int8 TOPS vs 197 bf16 TFLOPs)
+
+def _rowquant(x):
+    """Dynamic symmetric per-row int8 quantization of the LAST axis."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax / 127.0, 1e-12)
+    return jnp.round(xf / s).astype(jnp.int8), s
+
+
+def _dyn_fwd_raw(x, q, w_scale_vec):
+    xq, sx = _rowquant(x)
+    acc = jax.lax.dot_general(xq, q, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w_scale_vec.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def dyn_int8_matmul(x, q, w_scale_vec):
+    """y = x @ (q·s) computed as int8×int8→int32 on the MXU with dynamic
+    per-row activation scales (microbench: 1.31× a bf16 GEMM including the
+    quantize+rescale, docs/PERF.md).  x: [..., K] float; q: [K, N] int8;
+    w_scale_vec: [N] per-output-channel weight scales.
+
+    Gradient is straight-through: dx = (g·s_w) @ qᵀ, itself run int8-dynamic
+    (the weight is frozen — no dW; LoRA grads flow through the bf16 branch)."""
+    return _dyn_fwd_raw(x, q, w_scale_vec)
+
+
+def _dyn_vjp_fwd(x, q, w_scale_vec):
+    return _dyn_fwd_raw(x, q, w_scale_vec), (q, w_scale_vec)
+
+
+def _dyn_vjp_bwd(res, g):
+    q, w_scale_vec = res
+    gs = g.astype(jnp.float32) * w_scale_vec.astype(jnp.float32)
+    gq, sg = _rowquant(gs)
+    dxa = jax.lax.dot_general(gq, q, (((gs.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (dxa.astype(jnp.float32) * sg).astype(g.dtype)
+    # frozen int8 weights: integer primals take float0 cotangents
+    return (dx,
+            np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros_like(w_scale_vec))
+
+
+dyn_int8_matmul.defvjp(_dyn_vjp_fwd, _dyn_vjp_bwd)
+
+
 def quantize_tree(params, qcfg) -> dict:
     """Replace every matching dense kernel with {kernel_q, kernel_scale}.
 
@@ -99,6 +152,9 @@ def quantize_tree(params, qcfg) -> dict:
                         return node  # odd/ragged in-dim: keep full precision
                     q, scale = quantize_kernel_int4(k, group_size)
                     out["kernel_q4"] = q
+                elif qcfg.dtype == "int8_dynamic":
+                    q, scale = quantize_kernel(node["kernel"], "int8")
+                    out["kernel_q_dyn"] = q
                 else:
                     q, scale = quantize_kernel(node["kernel"], qcfg.dtype)
                     out["kernel_q"] = q

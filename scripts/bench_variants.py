@@ -127,6 +127,17 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
     if layers == "full":
         cfg = flux.FluxConfig()
         params = _synthetic_int8_params(cfg)
+        if os.environ.get("QUANT") == "int8dyn":
+            # rename weight-only int8 kernels to the W8A8-dynamic form
+            def rename(node):
+                if isinstance(node, dict):
+                    if "kernel_q" in node:
+                        out = dict(node)
+                        out["kernel_q_dyn"] = out.pop("kernel_q")
+                        return out
+                    return {k: rename(v) for k, v in node.items()}
+                return node
+            params = rename(params)
     else:
         cfg = flux.FluxConfig.bench()
         params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)

@@ -16,15 +16,15 @@ from qflux_tpu.parallel.partitioning import clip_spec_to_shape, mmdit_rules
 
 
 def test_mesh_resolution():
-    assert MeshConfig(dp=2, fsdp=-1, tp=1).resolve(8) == {"dp": 2, "fsdp": 4, "tp": 1}
-    assert MeshConfig(dp=1, fsdp=4, tp=2).resolve(8) == {"dp": 1, "fsdp": 4, "tp": 2}
+    assert MeshConfig(dp=2, fsdp=-1, tp=1).resolve(8) == {"dp": 2, "fsdp": 4, "tp": 1, "sp": 1}
+    assert MeshConfig(dp=1, fsdp=4, tp=2).resolve(8) == {"dp": 1, "fsdp": 4, "tp": 2, "sp": 1}
     with pytest.raises(ValueError):
         MeshConfig(dp=3, fsdp=-1).resolve(8)
 
 
 def test_build_mesh_8_cpu():
     mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
-    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2, "sp": 1}
 
 
 def test_clip_spec():

@@ -26,7 +26,7 @@ def test_processor_pixel_expression_lists():
 
 def test_mesh_section_defaults():
     m = MeshSection()
-    assert m.fsdp == -1 and m.remat == "full"
+    assert m.fsdp == -1 and m.remat == "flash" and m.sp == 1
 
 
 def test_invalid_trainer_rejected():
