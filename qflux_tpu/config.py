@@ -332,6 +332,15 @@ class Config(StrictModel):
     loss: LossSection = Field(default_factory=LossSection)
 
     @model_validator(mode="after")
+    def _low_memory_remat(self):
+        # low_memory trades step time for headroom: plain full recompute
+        # (no extra saved activations) — the reference declares the knob
+        # without semantics (reference data/config.py:617); here it acts
+        if self.train.low_memory and self.mesh.remat == "flash":
+            self.mesh.remat = "full"
+        return self
+
+    @model_validator(mode="after")
     def _wire_cache_into_data(self):
         # mirror the reference's cross-default wiring (config.py:822-830)
         if self.cache.use_cache and self.cache.cache_dir:

@@ -90,6 +90,21 @@ def build_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     shape = tuple(sizes[a] for a in AXIS_ORDER)
     n_used = math.prod(shape)
     auto = (AxisType.Auto,) * len(AXIS_ORDER)
+    if config.dcn_axes:
+        # multi-slice: axes in dcn_axes span slices (DCN); the rest stay
+        # within a slice (ICI). Single-slice backends fall through to the
+        # plain mesh (dcn sizes must then be 1).
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        if len(slice_ids) > 1:
+            from jax.experimental import mesh_utils
+
+            ici = tuple(1 if a in config.dcn_axes else sizes[a] for a in AXIS_ORDER)
+            dcn = tuple(sizes[a] if a in config.dcn_axes else 1 for a in AXIS_ORDER)
+            arr = mesh_utils.create_hybrid_device_mesh(
+                ici, dcn, devices=list(devices))
+            mesh = Mesh(arr, AXIS_ORDER, axis_types=auto)
+            _ACTIVE_MESH[0] = mesh
+            return mesh
     if n_used < len(devices):
         devices = list(devices)[:n_used]
         mesh = Mesh(np.asarray(devices).reshape(shape), AXIS_ORDER, axis_types=auto)

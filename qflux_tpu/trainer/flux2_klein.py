@@ -178,7 +178,7 @@ class Flux2KleinAdapter:
         try:
             from transformers import AutoTokenizer
 
-            bundle.tokenizers = {"qwen3": AutoTokenizer.from_pretrained(root / "tokenizer")}
+            bundle.tokenizers = {"qwen3": AutoTokenizer.from_pretrained(Path(config.model.tokenizer_path or root / "tokenizer"))}
         except Exception as e:  # pragma: no cover
             logging.warning("tokenizer unavailable (%s); hash fallback", e)
             bundle.tokenizers = {"qwen3": SimpleTokenizer(150000, 512)}

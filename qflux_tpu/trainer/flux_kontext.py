@@ -193,7 +193,7 @@ class FluxKontextAdapter:
             from transformers import AutoTokenizer
 
             bundle.tokenizers = {
-                "clip": AutoTokenizer.from_pretrained(root / "tokenizer"),
+                "clip": AutoTokenizer.from_pretrained(Path(config.model.tokenizer_path or root / "tokenizer")),
                 "t5": AutoTokenizer.from_pretrained(root / "tokenizer_2"),
             }
         except Exception as e:  # pragma: no cover

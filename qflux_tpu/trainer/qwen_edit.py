@@ -170,7 +170,7 @@ class QwenImageEditAdapter:
         try:
             from transformers import AutoTokenizer
 
-            bundle.tokenizers = {"vl": AutoTokenizer.from_pretrained(root / "tokenizer")}
+            bundle.tokenizers = {"vl": AutoTokenizer.from_pretrained(Path(config.model.tokenizer_path or root / "tokenizer"))}
         except Exception as e:  # pragma: no cover
             logging.warning("tokenizer unavailable (%s); using hash fallback", e)
             bundle.tokenizers = {"vl": SimpleTokenizer(140000, 1024)}
