@@ -1,0 +1,220 @@
+"""Pallas TPU fused int4-dequant matmul: y = x @ dequant(q4, scales).
+
+Status: measured SLOWER than XLA's own dequant+matmul fusion at the model's
+shapes (80 vs 90 TFLOPs-equiv; best tiles bm=256, bn=512, bkp=1536 — sweep in
+docs/PERF.md) — XLA pipelines the unpack/scale into the GEMM well on its own.
+Kept as an opt-in (QFLUX_FUSED_INT4=1) and as groundwork for a manually
+double-buffered variant; the default int4 path is the XLA dequant in
+ops/layers.dense.
+
+Layout contract (matches ops/quant.quantize_kernel_int4):
+  q4    [K/2, N] int8 — byte i holds original rows 2i (low nibble) and 2i+1
+        (high nibble), two's-complement int4;
+  scale [K/128, 1, N] f32 — per-(128-row group, out-channel).
+
+The kernel takes x pre-split into even/odd K rows (x[..., 0::2], x[..., 1::2],
+an XLA-fused strided slice) so the in-VMEM unpack is two plain elementwise
+nibbles — no sublane interleave:
+
+  y = x_even @ (lo·s) + x_odd @ (hi·s)
+
+Backward (custom VJP; weights frozen): dx_even = g @ (lo·s)ᵀ,
+dx_odd = g @ (hi·s)ᵀ with the same packed tiles, re-interleaved by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# K-tile = 2*BLOCK_KP original rows; scale tile rows = BLOCK_KP/64 must be ≥8
+import os as _os
+
+BLOCK_M = int(_os.environ.get("QFLUX_INT4_BM", 256))
+BLOCK_N = int(_os.environ.get("QFLUX_INT4_BN", 512))
+BLOCK_KP = int(_os.environ.get("QFLUX_INT4_BKP", 1536))  # packed rows/tile
+GROUP = 128             # quantization group size along original K
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def _unpack_tile(q, s):
+    """q [bkp, bn] int8, s [bkp//64, bn] f32 → (lo·s, hi·s) bf16."""
+    qi = q.astype(jnp.int32)
+    lo = jnp.left_shift(qi, 28) >> 28          # sign-extended low nibble
+    hi = jnp.left_shift(qi, 24) >> 28          # sign-extended high nibble
+    # original row 2i is in group (2i)//128 → packed row i gets scale i//64
+    sr = jnp.repeat(s, 64, axis=0)
+    wl = (lo.astype(jnp.float32) * sr).astype(jnp.bfloat16)
+    wh = (hi.astype(jnp.float32) * sr).astype(jnp.bfloat16)
+    return wl, wh
+
+
+def _fwd_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, nk):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    wl, wh = _unpack_tile(q_ref[...], s_ref[...])
+    acc[:] += jax.lax.dot(xe_ref[...], wl, preferred_element_type=jnp.float32)
+    acc[:] += jax.lax.dot(xo_ref[...], wh, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = acc[:].astype(o_ref.dtype)
+
+
+def _bwd_kernel(g_ref, q_ref, s_ref, dxe_ref, dxo_ref, acc_e, acc_o, *, nn):
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _():
+        acc_e[:] = jnp.zeros_like(acc_e)
+        acc_o[:] = jnp.zeros_like(acc_o)
+
+    wl, wh = _unpack_tile(q_ref[...], s_ref[...])
+    # dx_e[m, kp] += g[m, n] · wl[kp, n]  (contract n)
+    dn = (((1,), (1,)), ((), ()))
+    acc_e[:] += jax.lax.dot_general(g_ref[...], wl, dn,
+                                    preferred_element_type=jnp.float32)
+    acc_o[:] += jax.lax.dot_general(g_ref[...], wh, dn,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(n == nn - 1)
+    def _():
+        dxe_ref[...] = acc_e[:].astype(dxe_ref.dtype)
+        dxo_ref[...] = acc_o[:].astype(dxo_ref.dtype)
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _pick_bn(n: int) -> int:
+    for b in (BLOCK_N, 384, 256, 128):
+        if n % b == 0:
+            return b
+    raise ValueError(f"N={n} not a multiple of 128")
+
+
+def supports(k_in: int, n_out: int) -> bool:
+    """Shapes the fused kernel handles (others use the XLA dequant path)."""
+    return k_in % (2 * BLOCK_KP) == 0 and k_in % GROUP == 0 and n_out % 128 == 0
+
+
+def _fwd(xe, xo, q4, scale2d, out_dtype):
+    m, kp = xe.shape
+    n = q4.shape[1]
+    bm = min(BLOCK_M, m)
+    bn = _pick_bn(n)
+    nm, nn, nk = m // bm, n // bn, kp // BLOCK_KP
+    sb = BLOCK_KP // 64
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, BLOCK_KP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, BLOCK_KP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((BLOCK_KP, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(xe, xo, q4, scale2d)
+
+
+def _bwd(g, q4, scale2d, x_dtype):
+    m, n = g.shape
+    kp = q4.shape[0]
+    bm = min(BLOCK_M, m)
+    bn = _pick_bn(n)
+    nm, nkp, nn = m // bm, kp // BLOCK_KP, n // bn
+    sb = BLOCK_KP // 64
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, nn=nn),
+        grid=(nm, nkp, nn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, k, j: (i, j)),
+            pl.BlockSpec((BLOCK_KP, bn), lambda i, k, j: (k, j)),
+            pl.BlockSpec((sb, bn), lambda i, k, j: (k, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, BLOCK_KP), lambda i, k, j: (i, k)),
+            pl.BlockSpec((bm, BLOCK_KP), lambda i, k, j: (i, k)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m, kp), x_dtype),
+                   jax.ShapeDtypeStruct((m, kp), x_dtype)],
+        scratch_shapes=[pltpu.VMEM((bm, BLOCK_KP), jnp.float32),
+                        pltpu.VMEM((bm, BLOCK_KP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(g, q4, scale2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int4_matmul(x, q4, scale):
+    """x [..., K] float; q4 [K/2, N] packed int4; scale [K/128, 1, N] f32.
+    Returns [..., N] in x.dtype. Requires supports(K, N)."""
+    return _int4_matmul_fwd_impl(x, q4, scale)
+
+
+def _int4_matmul_fwd_impl(x, q4, scale):
+    *lead, k_in = x.shape
+    n = q4.shape[-1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k_in)
+    # sublane-align rows; multi-block row dims must divide BLOCK_M
+    xe = _pad_to(x2[:, 0::2], 8, 0)
+    xo = _pad_to(x2[:, 1::2], 8, 0)
+    if xe.shape[0] > BLOCK_M:
+        xe = _pad_to(xe, BLOCK_M, 0)
+        xo = _pad_to(xo, BLOCK_M, 0)
+    scale2d = scale.reshape(scale.shape[-3], scale.shape[-1])
+    out = _fwd(xe.astype(jnp.bfloat16), xo.astype(jnp.bfloat16), q4, scale2d,
+               x.dtype)
+    return out[:m].reshape(*lead, n)
+
+
+def _int4_vjp_fwd(x, q4, scale):
+    return _int4_matmul_fwd_impl(x, q4, scale), (q4, scale)
+
+
+def _int4_vjp_bwd(res, g):
+    q4, scale = res
+    # x's shape/dtype reconstruct from the cotangent: leading dims match,
+    # K = 2 × packed rows, dtype = primal output dtype = x dtype
+    *lead, n = g.shape
+    k_in = q4.shape[-2] * 2
+    m = int(np.prod(lead)) if lead else 1
+    g2 = g.reshape(m, n).astype(jnp.bfloat16)
+    g2 = _pad_to(g2, 8, 0)
+    if g2.shape[0] > BLOCK_M:
+        g2 = _pad_to(g2, BLOCK_M, 0)
+    scale2d = scale.reshape(scale.shape[-3], scale.shape[-1])
+    dxe, dxo = _bwd(g2, q4, scale2d, jnp.float32)
+    dx = jnp.stack([dxe[:m], dxo[:m]], axis=-1).reshape(m, k_in)
+    return (dx.reshape(*lead, k_in).astype(g.dtype),
+            np.zeros(q4.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+int4_matmul.defvjp(_int4_vjp_fwd, _int4_vjp_bwd)

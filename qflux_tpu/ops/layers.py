@@ -65,11 +65,14 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
     Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
     dequantized inline — XLA fuses the scale multiply into the matmul."""
-    if "kernel_q_dyn" in p:
-        # W8A8-dynamic: int8×int8 on the MXU, per-row activation scales
-        from qflux_tpu.ops.quant import dyn_int8_matmul
+    if "kernel_q_dyn" in p or "kernel_q4_dyn" in p:
+        # W8A8/W4A8-dynamic: int8×int8 on the MXU, per-row activation scales
+        from qflux_tpu.ops.quant import dyn_int4_matmul, dyn_int8_matmul
 
-        y = dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
+        if "kernel_q4_dyn" in p:
+            y = dyn_int4_matmul(x, p["kernel_q4_dyn"], p["kernel_scale"])
+        else:
+            y = dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
         if "lora" in p:
             la, lb = p["lora"]["a"], p["lora"]["b"]
             scaling = p["lora"].get("scaling", 1.0)
@@ -81,9 +84,29 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
             y = y + p["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
     if "kernel_q4" in p:
+        from qflux_tpu.ops.int4_matmul import int4_matmul, supports
         from qflux_tpu.ops.quant import dequantize_kernel_int4
 
-        kernel = dequantize_kernel_int4(p["kernel_q4"], p["kernel_scale"], x.dtype)
+        import os as _os
+
+        q4 = p["kernel_q4"]
+        if (_os.environ.get("QFLUX_FUSED_INT4") == "1" and q4.ndim == 2
+                and supports(q4.shape[0] * 2, q4.shape[1])):
+            # opt-in fused Pallas dequant-matmul (see ops/int4_matmul.py —
+            # XLA's own fusion currently measures faster)
+            y = int4_matmul(x, q4, p["kernel_scale"])
+            if "lora" in p:
+                la, lb = p["lora"]["a"], p["lora"]["b"]
+                scaling = p["lora"].get("scaling", 1.0)
+                y = y + jnp.dot(
+                    jnp.dot(x, la.astype(x.dtype),
+                            preferred_element_type=jnp.float32).astype(x.dtype),
+                    lb.astype(x.dtype), preferred_element_type=jnp.float32,
+                ) * (scaling * lora_scale)
+            if "bias" in p:
+                y = y + p["bias"].astype(jnp.float32)
+            return y.astype(x.dtype)
+        kernel = dequantize_kernel_int4(q4, p["kernel_scale"], x.dtype)
     elif "kernel_q" in p:
         kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
     else:
@@ -141,7 +164,7 @@ def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
         if "kernel" in params and not isinstance(params["kernel"], dict):
             yield prefix, params
             return
-        if any(k in params for k in ("kernel_q", "kernel_q4", "kernel_q_dyn")):
+        if any(k in params for k in ("kernel_q", "kernel_q4", "kernel_q_dyn", "kernel_q4_dyn")):
             yield prefix, params
             return
         for k, v in params.items():
@@ -168,12 +191,12 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
     for (path, node), k in zip(paths, keys):
         if "kernel" in node:
             kernel = node["kernel"]
-        elif "kernel_q4" in node:
-            kernel = node["kernel_q4"]
+        elif "kernel_q4" in node or "kernel_q4_dyn" in node:
+            kernel = node.get("kernel_q4", node.get("kernel_q4_dyn"))
         else:
             kernel = node.get("kernel_q", node.get("kernel_q_dyn"))
         *lead, in_dim, out_dim = kernel.shape
-        if "kernel_q4" in node and "kernel" not in node:
+        if "kernel" not in node and ("kernel_q4" in node or "kernel_q4_dyn" in node):
             in_dim *= 2  # two int4 rows packed per int8 byte
         lead = tuple(lead)
         if init == "gaussian":

@@ -129,6 +129,67 @@ def _dyn_vjp_bwd(res, g):
 dyn_int8_matmul.defvjp(_dyn_vjp_fwd, _dyn_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# W4A8-dynamic: grouped-int4 weights × dynamic-int8 activations. The int4
+# nibbles unpack to int8 (values in [-8, 7]) and each scale group becomes one
+# int8×int8 MXU matmul of K=group_size, rescaled by (activation row scale ×
+# group weight scale) and summed — no bf16 dequantized kernel ever exists.
+
+def _dyn4_fwd_raw(x, q4, g_scale):
+    *lead, half_in, d_out = q4.shape
+    d_in = half_in * 2
+    n_g = g_scale.shape[-3]
+    gsz = d_in // n_g
+    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)
+    hi = jnp.right_shift(q4, 4)
+    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, n_g, gsz, d_out)  # int8
+    xq, sx = _rowquant(x)                                   # [..., d_in] int8
+    xg = xq.reshape(*x.shape[:-1], n_g, gsz)
+    # per-group int8 GEMMs: contract gsz, batch n_g → [..., n_g, d_out]
+    acc = jnp.einsum("...gk,gko->...go", xg, q,
+                     preferred_element_type=jnp.int32)
+    y = jnp.sum(acc.astype(jnp.float32) * g_scale[..., 0, :], axis=-2)
+    return (y * sx).astype(x.dtype)
+
+
+@jax.custom_vjp
+def dyn_int4_matmul(x, q4, g_scale):
+    """x [..., K] float; q4 [K/2, N] packed int4; g_scale [K/G, 1, N].
+    Straight-through VJP like dyn_int8_matmul (dx also int8×int8)."""
+    return _dyn4_fwd_raw(x, q4, g_scale)
+
+
+def _dyn4_vjp_fwd(x, q4, g_scale):
+    return _dyn4_fwd_raw(x, q4, g_scale), (q4, g_scale)
+
+
+def _dyn4_vjp_bwd(res, g):
+    q4, g_scale = res
+    half_in, d_out = q4.shape[-2:]
+    d_in = half_in * 2
+    n_g = g_scale.shape[-3]
+    gsz = d_in // n_g
+    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)
+    hi = jnp.right_shift(q4, 4)
+    q = jnp.stack([lo, hi], axis=-2).reshape(*q4.shape[:-2], n_g, gsz, d_out)
+    # dx[..., (g,k)] = Σ_o g[..., o] · w_scale[g, o] · q[g, k, o]: fold the
+    # per-(group, out) weight scale into g BEFORE quantizing (it varies over
+    # the contracted dim, so it cannot be applied after the int matmul)
+    gsw = g.astype(jnp.float32)[..., None, :] * g_scale[..., 0, :]  # [..., n_g, d_out]
+    amax = jnp.max(jnp.abs(gsw), axis=-1, keepdims=True)
+    s_r = jnp.maximum(amax / 127.0, 1e-12)                  # [..., n_g, 1]
+    gq2 = jnp.round(gsw / s_r).astype(jnp.int8)
+    dxa = jnp.einsum("...go,gko->...gk", gq2, q,
+                     preferred_element_type=jnp.int32)
+    dx = (dxa.astype(jnp.float32) * s_r).reshape(*g.shape[:-1], d_in)
+    return (dx.astype(g.dtype),
+            np.zeros(q4.shape, jax.dtypes.float0),
+            jnp.zeros_like(g_scale))
+
+
+dyn_int4_matmul.defvjp(_dyn4_vjp_fwd, _dyn4_vjp_bwd)
+
+
 def quantize_tree(params, qcfg) -> dict:
     """Replace every matching dense kernel with {kernel_q, kernel_scale}.
 
@@ -152,6 +213,12 @@ def quantize_tree(params, qcfg) -> dict:
                         return node  # odd/ragged in-dim: keep full precision
                     q, scale = quantize_kernel_int4(k, group_size)
                     out["kernel_q4"] = q
+                elif qcfg.dtype == "int4_dynamic":
+                    k = node["kernel"]
+                    if k.shape[-2] % 2 or k.shape[-2] % min(group_size, k.shape[-2]):
+                        return node
+                    q, scale = quantize_kernel_int4(k, group_size)
+                    out["kernel_q4_dyn"] = q
                 elif qcfg.dtype == "int8_dynamic":
                     q, scale = quantize_kernel(node["kernel"], "int8")
                     out["kernel_q_dyn"] = q

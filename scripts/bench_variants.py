@@ -62,6 +62,16 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
 
     cfg = qwen.QwenImageConfig()  # full 60 layers; 20B → int4 only fits
     params = _synthetic_int4_params(cfg, qwen.init)
+    if quant == "w4a8":
+        def rename(node):
+            if isinstance(node, dict):
+                if "kernel_q4" in node:
+                    out = dict(node)
+                    out["kernel_q4_dyn"] = out.pop("kernel_q4")
+                    return out
+                return {k: rename(v) for k, v in node.items()}
+            return node
+        params = rename(params)
     lora = build_lora_tree(
         jax.random.PRNGKey(1), params,
         [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],

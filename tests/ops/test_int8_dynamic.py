@@ -125,3 +125,40 @@ def test_w8a8_training_converges_like_fp32():
     drop_fp32 = np.mean(curves["fp32"][:5]) - np.mean(curves["fp32"][-5:])
     drop_w8a8 = np.mean(curves["w8a8"][:5]) - np.mean(curves["w8a8"][-5:])
     assert drop_w8a8 > 0.5 * drop_fp32, curves
+
+
+def test_w4a8_matches_int4_dequant_path():
+    """dyn_int4_matmul (segmented int8 GEMMs) must match the dequantized-int4
+    float matmul closely, and gradients must flow straight-through."""
+    from qflux_tpu.ops.quant import (dequantize_kernel_int4, dyn_int4_matmul,
+                                     quantize_kernel_int4)
+
+    k = jax.random.PRNGKey(5)
+    w = jax.random.normal(k, (256, 64)) * 0.05
+    x = jax.random.normal(jax.random.fold_in(k, 1), (4, 256))
+    q4, gs = quantize_kernel_int4(w, 128)
+    y = dyn_int4_matmul(x, q4, gs)
+    y_ref = x @ dequantize_kernel_int4(q4, gs, jnp.float32)
+    assert np.abs(np.asarray(y) - np.asarray(y_ref)).max() < 0.05
+    g = jax.grad(lambda x: jnp.sum(dyn_int4_matmul(x, q4, gs) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum((x @ dequantize_kernel_int4(
+        q4, gs, jnp.float32)) ** 2))(x)
+    rel = np.abs(np.asarray(g - g_ref)).max() / np.abs(np.asarray(g_ref)).max()
+    assert rel < 0.05
+
+
+def test_w4a8_dense_dispatch():
+    from qflux_tpu.ops.quant import quantize_tree as qt
+    from qflux_tpu.ops.layers import build_lora_tree, dense
+
+    k = jax.random.PRNGKey(6)
+    w = jax.random.normal(k, (128, 64)) * 0.05
+    x = jax.random.normal(jax.random.fold_in(k, 1), (2, 128))
+    tree = qt({"attn": {"to_q": {"kernel": w}}},
+              QuantizeSection(enabled=True, dtype="int4_dynamic", group_size=64))
+    node = tree["attn"]["to_q"]
+    assert "kernel_q4_dyn" in node
+    y = dense(node, x)
+    assert np.isfinite(np.asarray(y)).all()
+    lora = build_lora_tree(k, tree, [r"attn/to_q"], rank=4, alpha=4)
+    assert lora["attn"]["to_q"]["a"].shape == (128, 4)
