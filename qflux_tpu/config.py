@@ -301,6 +301,10 @@ class LoggingSection(StrictModel):
     # capture an XLA/TPU profiler trace of a few post-compile train steps
     # into this dir (viewable in TensorBoard/Perfetto; utils/profiling.trace)
     profile_dir: Optional[str] = None
+    # push the final LoRA checkpoint to this HF Hub repo id after fit
+    # (reference utils/huggingface.py:469 upload_lora_safetensors; network-
+    # gated — failures log a warning, training output is unaffected)
+    push_to_hub: Optional[str] = None
 
 
 class PredictSection(StrictModel):

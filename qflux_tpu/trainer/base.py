@@ -266,14 +266,22 @@ class Trainer:
                                      cfg.logging.profile_dir)
                 emb = self._embeddings_for_batch(batch)
                 emb = self._device_batch(emb, batch_sharding)
+                t_step = time.monotonic()
                 self.state, metrics = step_fn(self.state, self.bundle.dit_params,
                                               emb, rng)
                 self.global_step += 1
-                loss = float(metrics["loss"])
+                loss = float(metrics["loss"])  # forces the step (tunnel-safe)
+                if self.global_step == 1:
+                    # trace+compile of the jitted step (reference has no
+                    # compile-time observability; SURVEY §5 tracing)
+                    self.logger.log_metrics(
+                        {"compile_s": time.monotonic() - t_step}, 1)
                 ema_loss = loss if ema_loss is None else 0.95 * ema_loss + 0.05 * loss
                 fps = self.fps.step(n_items=self._batch_items(batch))
+                lr = self._lr_value(self.global_step)
                 self.logger.log_metrics(
                     {"loss": loss, "smooth_loss": ema_loss, "epoch": epoch,
+                     **({"lr": lr} if lr is not None else {}),
                      **({"fps": fps} if fps else {})}, self.global_step)
 
                 if self.global_step % cfg.train.checkpointing_steps == 0:
@@ -292,13 +300,35 @@ class Trainer:
                 break
         if profiling:
             jax.profiler.stop_trace()
-        self.save_checkpoint(last=True)
+        last_ckpt = self.save_checkpoint(last=True)
         if getattr(self, "_async_ckpt", None) is not None:
             self._async_ckpt.wait()  # land in-flight saves before returning
+        if cfg.logging.push_to_hub:
+            try:
+                from qflux_tpu.utils.hub import upload_lora_safetensors
+
+                upload_lora_safetensors(
+                    last_ckpt / "pytorch_lora_weights.safetensors",
+                    cfg.logging.push_to_hub)
+                logging.info("pushed LoRA to hub repo %s", cfg.logging.push_to_hub)
+            except Exception as e:  # network-gated: never fail training
+                logging.warning("hub push failed: %s", e)
         logging.info("fit done: %d steps in %.1fs", self.global_step,
                      time.monotonic() - t_start)
         self.logger.close()
         return self.state
+
+    def _lr_value(self, step: int):
+        """Current learning rate for logging (reference base_trainer.py:543-549
+        logs lr per step)."""
+        lr = make_lr_schedule(self.config.optimizer.learning_rate,
+                              self.config.lr_scheduler.scheduler_type,
+                              self.config.lr_scheduler.warmup_steps,
+                              self.config.train.max_train_steps)
+        try:
+            return float(lr(step)) if callable(lr) else float(lr)
+        except Exception:
+            return None
 
     def _batch_items(self, batch) -> int:
         for v in batch.values():
