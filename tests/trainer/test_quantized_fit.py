@@ -46,3 +46,32 @@ def test_quantized_base_fit(tmp_path, rng):
     assert "kernel_q" in node and node["kernel_q"].dtype == jnp.int8
     # and LoRA trained on top of them
     assert (t.output_dir / "checkpoint-last-2" / "pytorch_lora_weights.safetensors").exists()
+
+
+@pytest.mark.parametrize("dtype,key", [("int8_dynamic", "kernel_q_dyn"),
+                                       ("int4", None)])
+def test_quantized_dtypes_fit_from_yaml(tmp_path, rng, tmp_image_dir, dtype, key):
+    """int8_dynamic (W8A8 MXU matmuls) and grouped int4 bases train from the
+    YAML surface. Tiny dims aren't 128-group/int4-tileable everywhere, so
+    int4 uses group_size=8 and skips odd in-dims automatically."""
+    cfg = Config.model_validate({
+        "trainer": "FluxKontextLoraTrainer",
+        "model": {"variant": "test",
+                  "quantize": {"enabled": True, "dtype": dtype, "group_size": 8},
+                  "lora": {"r": 2, "lora_alpha": 2}},
+        "data": {"init_args": {"dataset_path": str(tmp_image_dir)},
+                 "processor": {"process_type": "resize", "target_size": [32, 48]}},
+        "train": {"max_train_steps": 2, "checkpointing_steps": 100,
+                  "weight_dtype": "float32"},
+        "logging": {"output_dir": str(tmp_path / "out"), "report_to": "none"},
+    })
+    proc = ImageProcessor(cfg.data.processor)
+    ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    t = Trainer(cfg)
+    state = t.fit(DataLoader(ds, batch_size=1, shuffle=False, drop_last=False))
+    assert int(state.step) == 2
+    node = t.bundle.dit_params["dual"]["attn"]["to_q"]
+    if key:
+        assert key in node
+    else:  # int4: quantized where tileable
+        assert "kernel_q4" in node or "kernel" in node
