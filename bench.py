@@ -135,7 +135,8 @@ def main():
     #    tests/ops/test_int8_dynamic.py); 1.3× a bf16 GEMM at these shapes
     dt_dyn, compile_dyn = timed(_w8a8_params(params)) if on_tpu else (dt_wo, 0.0)
 
-    dt = min(dt_wo, dt_dyn)
+    # report each configuration under its own label (no silent min())
+    dt = dt_dyn if on_tpu else dt_wo
     fps = batch_size / dt
     fps_wo = batch_size / dt_wo
     # train FLOPs ≈ 3× fwd (dx chains + remat recompute); v5e peak 197 TFLOPs

@@ -112,7 +112,8 @@ class ImageDataset:
         # 1-based control selection (reference selected_control_indexes)
         self.selected_control_indexes = (list(selected_control_indexes)
                                          if selected_control_indexes else None)
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._visit_counts: dict[int, int] = {}
         self._rng_lock = __import__("threading").Lock()
         self.samples: list[dict] = []
 
@@ -264,8 +265,13 @@ class ImageDataset:
         # prompt and the control context; caption_dropout drops the prompt only
         # (reference data/config.py:383 declares the knob; applied here at item
         # level — control latents/pixels are zeroed so shapes stay static)
-        with self._rng_lock:  # getitem may run on loader worker threads
-            u1, u2 = float(self._rng.random()), float(self._rng.random())
+        # dropout draws are keyed by (seed, sample index, visit count) so they
+        # are deterministic regardless of loader-worker-thread completion
+        # order AND resample on every epoch
+        with self._rng_lock:
+            visit = self._visit_counts.get(idx, 0)
+            self._visit_counts[idx] = visit + 1
+        u1, u2 = np.random.default_rng((self._seed, idx, visit)).random(2)
         drop_all = (self.prompt_image_dropout_rate > 0
                     and u1 < self.prompt_image_dropout_rate)
         drop_caption = drop_all or (
@@ -298,11 +304,10 @@ class ImageDataset:
         proc = self.processor.preprocess(raw)
         if drop_caption:
             out["prompt"] = ""
-        if drop_all:
-            for k in ("control", "controls"):
-                if k in proc:
-                    proc[k] = ([np.zeros_like(c) for c in proc[k]]
-                               if isinstance(proc[k], list) else np.zeros_like(proc[k]))
+        # drop_all on the pixel path: flag the item; the Trainer zeroes the
+        # control LATENTS after encoding so the null-conditioning
+        # representation is identical to the cached path's zeroed latents
+        out["drop_context"] = bool(drop_all)
         out["image"] = proc["image"]
         out["img_shapes"] = [tuple(proc["image"].shape[:2])]
         if "control" in proc:

@@ -105,7 +105,11 @@ def main(argv=None):
 
     trainer = Trainer(config)
     if config.mode == RunMode.cache:
-        # cache pass: bs=1, no shuffle, keep every sample (reference main.py:71-78)
+        # cache pass: bs=1, no shuffle, keep every sample (reference
+        # main.py:71-78). Conditioning dropout must NOT bake into the cache —
+        # it is a per-epoch resample applied at cached-load time instead.
+        dataset.caption_dropout_rate = 0.0
+        dataset.prompt_image_dropout_rate = 0.0
         dl = DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False,
                         bucket_by_shape=False)
         trainer.cache(dl)

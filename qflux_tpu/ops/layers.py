@@ -65,53 +65,7 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
     Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
     dequantized inline — XLA fuses the scale multiply into the matmul."""
-    if "kernel_q_dyn" in p or "kernel_q4_dyn" in p:
-        # W8A8/W4A8-dynamic: int8×int8 on the MXU, per-row activation scales
-        from qflux_tpu.ops.quant import dyn_int4_matmul, dyn_int8_matmul
-
-        if "kernel_q4_dyn" in p:
-            y = dyn_int4_matmul(x, p["kernel_q4_dyn"], p["kernel_scale"])
-        else:
-            y = dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
-        if "lora" in p:
-            la, lb = p["lora"]["a"], p["lora"]["b"]
-            scaling = p["lora"].get("scaling", 1.0)
-            y = y + jnp.dot(
-                jnp.dot(x, la.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
-                lb.astype(x.dtype), preferred_element_type=jnp.float32,
-            ) * (scaling * lora_scale)
-        if "bias" in p:
-            y = y + p["bias"].astype(jnp.float32)
-        return y.astype(x.dtype)
-    if "kernel_q4" in p:
-        from qflux_tpu.ops.int4_matmul import int4_matmul, supports
-        from qflux_tpu.ops.quant import dequantize_kernel_int4
-
-        import os as _os
-
-        q4 = p["kernel_q4"]
-        if (_os.environ.get("QFLUX_FUSED_INT4") == "1" and q4.ndim == 2
-                and supports(q4.shape[0] * 2, q4.shape[1])):
-            # opt-in fused Pallas dequant-matmul (see ops/int4_matmul.py —
-            # XLA's own fusion currently measures faster)
-            y = int4_matmul(x, q4, p["kernel_scale"])
-            if "lora" in p:
-                la, lb = p["lora"]["a"], p["lora"]["b"]
-                scaling = p["lora"].get("scaling", 1.0)
-                y = y + jnp.dot(
-                    jnp.dot(x, la.astype(x.dtype),
-                            preferred_element_type=jnp.float32).astype(x.dtype),
-                    lb.astype(x.dtype), preferred_element_type=jnp.float32,
-                ) * (scaling * lora_scale)
-            if "bias" in p:
-                y = y + p["bias"].astype(jnp.float32)
-            return y.astype(x.dtype)
-        kernel = dequantize_kernel_int4(q4, p["kernel_scale"], x.dtype)
-    elif "kernel_q" in p:
-        kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
-    else:
-        kernel = p["kernel"].astype(x.dtype)
-    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    y = _base_matmul(p, x)
     if "lora" in p:
         la, lb = p["lora"]["a"], p["lora"]["b"]
         scaling = p["lora"].get("scaling", 1.0)
@@ -123,6 +77,38 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
+    """x @ W for whatever form the frozen kernel is stored in."""
+    if "kernel_q4_dyn" in p:
+        # W4A8-dynamic: per-group int8×int8 on the MXU (opt-in; docs/PERF.md)
+        from qflux_tpu.ops.quant import dyn_int4_matmul
+
+        return dyn_int4_matmul(x, p["kernel_q4_dyn"], p["kernel_scale"])
+    if "kernel_q_dyn" in p:
+        # W8A8-dynamic: int8×int8 on the MXU, per-row activation scales
+        from qflux_tpu.ops.quant import dyn_int8_matmul
+
+        return dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
+    if "kernel_q4" in p:
+        import os as _os
+
+        from qflux_tpu.ops.int4_matmul import int4_matmul, supports
+        from qflux_tpu.ops.quant import dequantize_kernel_int4
+
+        q4 = p["kernel_q4"]
+        if (_os.environ.get("QFLUX_FUSED_INT4") == "1" and q4.ndim == 2
+                and supports(q4.shape[0] * 2, q4.shape[1])):
+            # opt-in fused Pallas dequant-matmul (see ops/int4_matmul.py —
+            # XLA's own fusion currently measures faster)
+            return int4_matmul(x, q4, p["kernel_scale"])
+        kernel = dequantize_kernel_int4(q4, p["kernel_scale"], x.dtype)
+    elif "kernel_q" in p:
+        kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
+    else:
+        kernel = p["kernel"].astype(x.dtype)
+    return jnp.dot(x, kernel, preferred_element_type=jnp.float32)
 
 
 def mlp_gelu(p: Params, x: jax.Array) -> jax.Array:

@@ -61,17 +61,20 @@ def xxh64_bytes(data: bytes, seed: int = 0) -> int:
 
 
 def xxh64_file(path: str | os.PathLike, seed: int = 0) -> str:
-    """Hex digest of a file's contents (streamed natively)."""
+    """Hex digest of a file's contents (streamed natively).
+
+    The Python fallback hashes the whole content in one pass so its digest is
+    BIT-EXACT with the native streamed XXH64 — cache keys stay portable across
+    hosts with and without the compiled library (chained per-chunk hashing
+    would produce a different, non-XXH64 digest)."""
     lib = _load()
     if lib is not None:
         h = int(lib.xxh64_file(str(path).encode(), seed))
         if h:
             return f"{h:016x}"
     with open(path, "rb") as f:
-        h = seed ^ 2870177450012600261
-        while chunk := f.read(1 << 22):
-            h = _xxh64_py(chunk, h)
-    return f"{(h or 1):016x}"
+        data = f.read()
+    return f"{_xxh64_py(data, seed):016x}"
 
 
 def _xxh64_py(data: bytes, seed: int = 0) -> int:

@@ -354,8 +354,18 @@ class Trainer:
             if hasattr(self.adapter, "prepare_cached_embeddings"):
                 emb = self.adapter.prepare_cached_embeddings(emb)
             return emb
-        return self.adapter.prepare_embeddings(self.bundle, batch,
-                                               self.config.predict.max_sequence_length)
+        emb = self.adapter.prepare_embeddings(self.bundle, batch,
+                                              self.config.predict.max_sequence_length)
+        flags = batch.get("drop_context")
+        if flags is not None and np.any(flags):
+            # prompt_image_dropout on the pixel path: zero the control
+            # LATENTS so the null-conditioning representation matches the
+            # cached path (which zeroes cached latents at load)
+            mask = 1.0 - np.asarray(flags, np.float32).reshape(-1, 1, 1)
+            for k in list(emb):
+                if k.startswith("control") and np.ndim(emb[k]) == 3:
+                    emb[k] = np.asarray(emb[k]) * mask
+        return emb
 
     def _build_multires_masks(self, emb: dict, valid: dict) -> dict:
         """Mixed-resolution cached batch: collate right-padded the latents;
@@ -440,11 +450,18 @@ class Trainer:
         if orbax_dir.exists():
             from qflux_tpu.utils.checkpoint import AsyncCheckpointer
 
-            mngr = AsyncCheckpointer(orbax_dir)
-            restored = mngr.restore(
-                self.global_step or None,
-                template={"opt_state": self.state.opt_state,
-                          "lora": self.state.lora})
+            try:
+                mngr = AsyncCheckpointer(orbax_dir)
+                restored = mngr.restore(
+                    self.global_step or None,
+                    template={"opt_state": self.state.opt_state,
+                              "lora": self.state.lora})
+            except Exception as e:
+                # e.g. the requested step was pruned by max_to_keep, or the
+                # orbax dir belongs to another run — fall back to the npz path
+                logging.warning("orbax restore failed (%s); trying "
+                                "optimizer_state.npz", e)
+                restored = None
             if restored is not None:
                 self.state = self.state.replace(
                     lora=jax.tree.map(jnp.asarray, restored["lora"]),

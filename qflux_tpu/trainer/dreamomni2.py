@@ -254,9 +254,5 @@ class DreamOmni2Adapter(FluxKontextAdapter):
         out["prompt"] = new_prompts[0] if single else new_prompts
         return out
 
-    def cache_embeddings(self, bundle: ModelBundle, item_batch: dict,
-                         max_sequence_length: int = 512):
-        item_batch = self._rewrite_batch_prompts(bundle, item_batch)
-        return FluxKontextAdapter.cache_embeddings(self, bundle, item_batch,
-                                                   max_sequence_length)
+
 

@@ -371,7 +371,6 @@ class FluxKontextAdapter:
             "txt_ids": np.asarray(singles[0]["txt_ids"]),
         }
         ids, segs = [], []
-        grids = []
         for e in singles:
             n_tgt = int(e["image_latents"].shape[1])
             n_ctl = int(e["control_latents"].shape[1])

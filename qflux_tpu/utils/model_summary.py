@@ -28,7 +28,7 @@ def _leaf_stats(tree):
         nonlocal n, b
         if isinstance(node, dict):
             for k, v in node.items():
-                rec(v, under_q4=(k == "kernel_q4"))
+                rec(v, under_q4=(k in ("kernel_q4", "kernel_q4_dyn")))
             return
         if not hasattr(node, "shape"):
             return
@@ -65,15 +65,16 @@ def _attention_stats(tree) -> dict:
         if isinstance(node, dict):
             if path and path[-1] == "attn":
                 layers = 1
+                kkeys = ("kernel", "kernel_q", "kernel_q4",
+                         "kernel_q_dyn", "kernel_q4_dyn")
                 for v in node.values():
-                    k = v.get("kernel", v.get("kernel_q", v.get("kernel_q4"))) \
-                        if isinstance(v, dict) else None
+                    k = next((v[kk] for kk in kkeys if isinstance(v, dict)
+                              and kk in v), None)
                     if k is not None and k.ndim == 3:
                         layers = max(layers, int(k.shape[0]))
                 n_proj += layers * sum(
                     1 for kk, v in node.items()
-                    if isinstance(v, dict) and ("kernel" in v or "kernel_q" in v
-                                                or "kernel_q4" in v))
+                    if isinstance(v, dict) and any(key in v for key in kkeys))
                 return
             for k, v in node.items():
                 rec(v, path + (k,))
