@@ -150,7 +150,8 @@ class QuantizeSection(StrictModel):
     # int8/fp8 weight-only + grouped int4 are the TPU-native analogues of the
     # reference's bnb int8/NF4 path (reference models/quantize.py:169-273);
     # int4 is what fits the 20B Qwen DiT on one 16 GB v5e
-    dtype: Literal["int8", "int8_dynamic", "int4", "int4_dynamic", "fp8_e4m3", "fp8_e5m2"] = "int8"
+    dtype: Literal["int8", "int8_dynamic", "int4", "int4_dynamic",
+                   "int4_requant", "fp8_e4m3", "fp8_e5m2"] = "int8"
     group_size: int = 128  # int4 scale granularity along the in-dim
     skip_patterns: list[str] = Field(default_factory=lambda: [r".*norm.*", r".*embed.*"])
 

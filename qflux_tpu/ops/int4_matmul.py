@@ -7,19 +7,19 @@ Kept as an opt-in (QFLUX_FUSED_INT4=1) and as groundwork for a manually
 double-buffered variant; the default int4 path is the XLA dequant in
 ops/layers.dense.
 
-Layout contract (matches ops/quant.quantize_kernel_int4):
-  q4    [K/2, N] int8 — byte i holds original rows 2i (low nibble) and 2i+1
-        (high nibble), two's-complement int4;
-  scale [K/128, 1, N] f32 — per-(128-row group, out-channel).
+Layout contract (matches ops/quant.quantize_kernel_int4, HALF-SPLIT):
+  q4    [K/2, N] int8 — byte i holds original rows i (low nibble) and
+        i + K/2 (high nibble), two's-complement int4;
+  scale [K/128, N] f32 — per-(128-row group, out-channel); the first
+        K/256 groups cover the low-nibble plane, the rest the high plane.
 
-The kernel takes x pre-split into even/odd K rows (x[..., 0::2], x[..., 1::2],
-an XLA-fused strided slice) so the in-VMEM unpack is two plain elementwise
-nibbles — no sublane interleave:
+The kernel takes x pre-split into its two contiguous K halves so the
+in-VMEM unpack is two plain elementwise nibble planes — no interleave:
 
-  y = x_even @ (lo·s) + x_odd @ (hi·s)
+  y = x[:, :K/2] @ (lo·s_lo) + x[:, K/2:] @ (hi·s_hi)
 
-Backward (custom VJP; weights frozen): dx_even = g @ (lo·s)ᵀ,
-dx_odd = g @ (hi·s)ᵀ with the same packed tiles, re-interleaved by XLA.
+Backward (custom VJP; weights frozen): dx_lo = g @ (lo·s_lo)ᵀ,
+dx_hi = g @ (hi·s_hi)ᵀ with the same packed tiles, concatenated by XLA.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# K-tile = 2*BLOCK_KP original rows; scale tile rows = BLOCK_KP/64 must be ≥8
+# K-tile = BLOCK_KP rows of each half; scale tile rows = BLOCK_KP/128 must be ≥8
 import os as _os
 
 BLOCK_M = int(_os.environ.get("QFLUX_INT4_BM", 256))
@@ -45,26 +45,25 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _unpack_tile(q, s):
-    """q [bkp, bn] int8, s [bkp//64, bn] f32 → (lo·s, hi·s) bf16."""
+def _unpack_tile(q, s_lo, s_hi):
+    """q [bkp, bn] int8, s_* [bkp//128, bn] f32 → (lo·s_lo, hi·s_hi) bf16."""
     qi = q.astype(jnp.int32)
     lo = jnp.left_shift(qi, 28) >> 28          # sign-extended low nibble
     hi = jnp.left_shift(qi, 24) >> 28          # sign-extended high nibble
-    # original row 2i is in group (2i)//128 → packed row i gets scale i//64
-    sr = jnp.repeat(s, 64, axis=0)
-    wl = (lo.astype(jnp.float32) * sr).astype(jnp.bfloat16)
-    wh = (hi.astype(jnp.float32) * sr).astype(jnp.bfloat16)
+    # half-split: packed row i ↔ original rows i / i+K/2 → scale row i//128
+    wl = (lo.astype(jnp.float32) * jnp.repeat(s_lo, GROUP, axis=0)).astype(jnp.bfloat16)
+    wh = (hi.astype(jnp.float32) * jnp.repeat(s_hi, GROUP, axis=0)).astype(jnp.bfloat16)
     return wl, wh
 
 
-def _fwd_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, nk):
+def _fwd_kernel(xe_ref, xo_ref, q_ref, slo_ref, shi_ref, o_ref, acc, *, nk):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    wl, wh = _unpack_tile(q_ref[...], s_ref[...])
+    wl, wh = _unpack_tile(q_ref[...], slo_ref[...], shi_ref[...])
     acc[:] += jax.lax.dot(xe_ref[...], wl, preferred_element_type=jnp.float32)
     acc[:] += jax.lax.dot(xo_ref[...], wh, preferred_element_type=jnp.float32)
 
@@ -73,7 +72,8 @@ def _fwd_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, nk):
         o_ref[...] = acc[:].astype(o_ref.dtype)
 
 
-def _bwd_kernel(g_ref, q_ref, s_ref, dxe_ref, dxo_ref, acc_e, acc_o, *, nn):
+def _bwd_kernel(g_ref, q_ref, slo_ref, shi_ref, dxe_ref, dxo_ref,
+                acc_e, acc_o, *, nn):
     n = pl.program_id(2)
 
     @pl.when(n == 0)
@@ -81,8 +81,8 @@ def _bwd_kernel(g_ref, q_ref, s_ref, dxe_ref, dxo_ref, acc_e, acc_o, *, nn):
         acc_e[:] = jnp.zeros_like(acc_e)
         acc_o[:] = jnp.zeros_like(acc_o)
 
-    wl, wh = _unpack_tile(q_ref[...], s_ref[...])
-    # dx_e[m, kp] += g[m, n] · wl[kp, n]  (contract n)
+    wl, wh = _unpack_tile(q_ref[...], slo_ref[...], shi_ref[...])
+    # dx_lo[m, kp] += g[m, n] · wl[kp, n]  (contract n)
     dn = (((1,), (1,)), ((), ()))
     acc_e[:] += jax.lax.dot_general(g_ref[...], wl, dn,
                                     preferred_element_type=jnp.float32)
@@ -112,17 +112,21 @@ def _pick_bn(n: int) -> int:
 
 
 def supports(k_in: int, n_out: int) -> bool:
-    """Shapes the fused kernel handles (others use the XLA dequant path)."""
-    return k_in % (2 * BLOCK_KP) == 0 and k_in % GROUP == 0 and n_out % 128 == 0
+    """Shapes the fused kernel handles (others use the XLA dequant path):
+    each K half must tile by BLOCK_KP and align to the 128-row scale groups
+    (half-split packing means groups may not straddle the K/2 boundary)."""
+    return (k_in % (2 * BLOCK_KP) == 0 and BLOCK_KP % GROUP == 0
+            and (k_in // 2) % GROUP == 0 and n_out % 128 == 0)
 
 
-def _fwd(xe, xo, q4, scale2d, out_dtype):
+def _fwd(xe, xo, q4, s_lo, s_hi, out_dtype):
     m, kp = xe.shape
     n = q4.shape[1]
     bm = min(BLOCK_M, m)
     bn = _pick_bn(n)
     nm, nn, nk = m // bm, n // bn, kp // BLOCK_KP
-    sb = BLOCK_KP // 64
+    sb = BLOCK_KP // GROUP
+    sspec = pl.BlockSpec((sb, bn), lambda i, j, k: (k, j))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, nk=nk),
         grid=(nm, nn, nk),
@@ -130,7 +134,7 @@ def _fwd(xe, xo, q4, scale2d, out_dtype):
             pl.BlockSpec((bm, BLOCK_KP), lambda i, j, k: (i, k)),
             pl.BlockSpec((bm, BLOCK_KP), lambda i, j, k: (i, k)),
             pl.BlockSpec((BLOCK_KP, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),
+            sspec, sspec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -138,23 +142,24 @@ def _fwd(xe, xo, q4, scale2d, out_dtype):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(xe, xo, q4, scale2d)
+    )(xe, xo, q4, s_lo, s_hi)
 
 
-def _bwd(g, q4, scale2d, x_dtype):
+def _bwd(g, q4, s_lo, s_hi, x_dtype):
     m, n = g.shape
     kp = q4.shape[0]
     bm = min(BLOCK_M, m)
     bn = _pick_bn(n)
     nm, nkp, nn = m // bm, kp // BLOCK_KP, n // bn
-    sb = BLOCK_KP // 64
+    sb = BLOCK_KP // GROUP
+    sspec = pl.BlockSpec((sb, bn), lambda i, k, j: (k, j))
     return pl.pallas_call(
         functools.partial(_bwd_kernel, nn=nn),
         grid=(nm, nkp, nn),
         in_specs=[
             pl.BlockSpec((bm, bn), lambda i, k, j: (i, j)),
             pl.BlockSpec((BLOCK_KP, bn), lambda i, k, j: (k, j)),
-            pl.BlockSpec((sb, bn), lambda i, k, j: (k, j)),
+            sspec, sspec,
         ],
         out_specs=[
             pl.BlockSpec((bm, BLOCK_KP), lambda i, k, j: (i, k)),
@@ -167,12 +172,12 @@ def _bwd(g, q4, scale2d, x_dtype):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(g, q4, scale2d)
+    )(g, q4, s_lo, s_hi)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def int4_matmul(x, q4, scale):
-    """x [..., K] float; q4 [K/2, N] packed int4; scale [K/128, 1, N] f32.
+    """x [..., K] float; q4 [K/2, N] packed int4; scale [K/128, N] f32.
     Returns [..., N] in x.dtype. Requires supports(K, N)."""
     return _int4_matmul_fwd_impl(x, q4, scale)
 
@@ -182,15 +187,18 @@ def _int4_matmul_fwd_impl(x, q4, scale):
     n = q4.shape[-1]
     m = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(m, k_in)
-    # sublane-align rows; multi-block row dims must divide BLOCK_M
-    xe = _pad_to(x2[:, 0::2], 8, 0)
-    xo = _pad_to(x2[:, 1::2], 8, 0)
+    # half-split: contiguous K halves; sublane-align rows (multi-block row
+    # dims must divide BLOCK_M)
+    h = k_in // 2
+    xe = _pad_to(x2[:, :h], 8, 0)
+    xo = _pad_to(x2[:, h:], 8, 0)
     if xe.shape[0] > BLOCK_M:
         xe = _pad_to(xe, BLOCK_M, 0)
         xo = _pad_to(xo, BLOCK_M, 0)
-    scale2d = scale.reshape(scale.shape[-3], scale.shape[-1])
-    out = _fwd(xe.astype(jnp.bfloat16), xo.astype(jnp.bfloat16), q4, scale2d,
-               x.dtype)
+    scale2d = scale.reshape(scale.shape[-2], scale.shape[-1])
+    gh = scale2d.shape[0] // 2
+    out = _fwd(xe.astype(jnp.bfloat16), xo.astype(jnp.bfloat16), q4,
+               scale2d[:gh], scale2d[gh:], x.dtype)
     return out[:m].reshape(*lead, n)
 
 
@@ -209,9 +217,10 @@ def _int4_vjp_bwd(res, g):
     g2 = _pad_to(g2, 8, 0)
     if g2.shape[0] > BLOCK_M:
         g2 = _pad_to(g2, BLOCK_M, 0)
-    scale2d = scale.reshape(scale.shape[-3], scale.shape[-1])
-    dxe, dxo = _bwd(g2, q4, scale2d, jnp.float32)
-    dx = jnp.stack([dxe[:m], dxo[:m]], axis=-1).reshape(m, k_in)
+    scale2d = scale.reshape(scale.shape[-2], scale.shape[-1])
+    gh = scale2d.shape[0] // 2
+    dxe, dxo = _bwd(g2, q4, scale2d[:gh], scale2d[gh:], jnp.float32)
+    dx = jnp.concatenate([dxe[:m], dxo[:m]], axis=-1)
     return (dx.reshape(*lead, k_in).astype(g.dtype),
             np.zeros(q4.shape, jax.dtypes.float0),
             jnp.zeros_like(scale))

@@ -81,6 +81,12 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
 def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
     """x @ W for whatever form the frozen kernel is stored in."""
+    if "kernel_q4_rq" in p:
+        # W4A8-requant: int4 → per-channel int8 grid on the fly, one int8×int8
+        # MXU GEMM (fastest int4 form measured; docs/PERF.md)
+        from qflux_tpu.ops.quant import requant_int4_matmul
+
+        return requant_int4_matmul(x, p["kernel_q4_rq"], p["kernel_scale"])
     if "kernel_q4_dyn" in p:
         # W4A8-dynamic: per-group int8×int8 on the MXU (opt-in; docs/PERF.md)
         from qflux_tpu.ops.quant import dyn_int4_matmul
@@ -150,7 +156,8 @@ def iter_dense_paths(params: Params, prefix: tuple[str, ...] = ()):
         if "kernel" in params and not isinstance(params["kernel"], dict):
             yield prefix, params
             return
-        if any(k in params for k in ("kernel_q", "kernel_q4", "kernel_q_dyn", "kernel_q4_dyn")):
+        if any(k in params for k in ("kernel_q", "kernel_q4", "kernel_q_dyn",
+                                     "kernel_q4_dyn", "kernel_q4_rq")):
             yield prefix, params
             return
         for k, v in params.items():
@@ -175,14 +182,15 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
              if any(pat.search("/".join(p)) for pat in pats)]
     keys = jax.random.split(key, max(len(paths), 1))
     for (path, node), k in zip(paths, keys):
+        q4_keys = ("kernel_q4", "kernel_q4_dyn", "kernel_q4_rq")
         if "kernel" in node:
             kernel = node["kernel"]
-        elif "kernel_q4" in node or "kernel_q4_dyn" in node:
-            kernel = node.get("kernel_q4", node.get("kernel_q4_dyn"))
+        elif any(k in node for k in q4_keys):
+            kernel = next(node[k] for k in q4_keys if k in node)
         else:
             kernel = node.get("kernel_q", node.get("kernel_q_dyn"))
         *lead, in_dim, out_dim = kernel.shape
-        if "kernel" not in node and ("kernel_q4" in node or "kernel_q4_dyn" in node):
+        if "kernel" not in node and any(k in node for k in q4_keys):
             in_dim *= 2  # two int4 rows packed per int8 byte
         lead = tuple(lead)
         if init == "gaussian":

@@ -39,12 +39,19 @@ def quantize_kernel(kernel, dtype="int8"):
 
 
 def quantize_kernel_int4(kernel, group_size: int = 128):
-    """[…, in, out] float → (packed […, in/2, out] int8, […, in/G, 1, out] f32).
+    """[…, in, out] float → (packed […, in/2, out] int8, […, in/G, out] f32).
+
+    The scale carries NO singleton group axis: a […, in/G, 1, out] form pads
+    its sublane dim 1→8 in HBM (8× on the stored tensor — 42 MB over budget
+    on the 20B Qwen; the observed round-2 OOM).
 
     TPU-native analogue of the reference's NF4/fp4 bases (reference
     models/quantize.py:169-273, load-bearing for fitting the 20B Qwen DiT):
-    symmetric int4 with per-(group, out-channel) scales, two nibbles packed
-    per int8 byte along the in-dim (row 2i → low nibble, 2i+1 → high)."""
+    symmetric int4 with per-(group, out-channel) scales, HALF-SPLIT packed —
+    byte row i holds original row i (low nibble) and row i+in/2 (high).
+    Half-split means unpack is two contiguous nibble planes (no sublane
+    interleave), which XLA fuses into the GEMM ~28% faster than the
+    row-pair layout (docs/PERF.md round-2 int4 table)."""
     k = jnp.asarray(kernel, jnp.float32)
     *lead, d_in, d_out = k.shape
     g = min(group_size, d_in)
@@ -55,10 +62,18 @@ def quantize_kernel_int4(kernel, group_size: int = 128):
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int8)
     q = q.reshape(*lead, d_in, d_out)
-    lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+    lo, hi = q[..., : d_in // 2, :], q[..., d_in // 2 :, :]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
-    return packed, scale.astype(jnp.float32)
+    return packed, scale[..., 0, :].astype(jnp.float32)
+
+
+def unpack_int4(packed):
+    """[…, in/2, out] packed → […, in, out] int8 values in [-8, 7]
+    (half-split layout: low nibbles are rows [0, in/2), high the rest)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extended low nibble
+    hi = jnp.right_shift(packed, 4)                     # arithmetic → signed high
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequantize_kernel_int4(packed, scale, dtype=jnp.bfloat16):
@@ -66,12 +81,10 @@ def dequantize_kernel_int4(packed, scale, dtype=jnp.bfloat16):
     operand load (shift/and/mul are elementwise on the weight tile)."""
     *lead, half_in, d_out = packed.shape
     d_in = half_in * 2
-    n_groups = scale.shape[-3]
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extended low nibble
-    hi = jnp.right_shift(packed, 4)                     # arithmetic → signed high
-    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, d_in, d_out)
+    n_groups = scale.shape[-2]
+    q = unpack_int4(packed)
     grouped = q.reshape(*lead, n_groups, d_in // n_groups, d_out).astype(jnp.float32)
-    return (grouped * scale).reshape(*lead, d_in, d_out).astype(dtype)
+    return (grouped * scale[..., :, None, :]).reshape(*lead, d_in, d_out).astype(dtype)
 
 
 def dequantize_kernel(q, scale, dtype=jnp.bfloat16):
@@ -138,23 +151,21 @@ dyn_int8_matmul.defvjp(_dyn_vjp_fwd, _dyn_vjp_bwd)
 def _dyn4_fwd_raw(x, q4, g_scale):
     *lead, half_in, d_out = q4.shape
     d_in = half_in * 2
-    n_g = g_scale.shape[-3]
+    n_g = g_scale.shape[-2]
     gsz = d_in // n_g
-    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)
-    hi = jnp.right_shift(q4, 4)
-    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, n_g, gsz, d_out)  # int8
+    q = unpack_int4(q4).reshape(*lead, n_g, gsz, d_out)  # int8
     xq, sx = _rowquant(x)                                   # [..., d_in] int8
     xg = xq.reshape(*x.shape[:-1], n_g, gsz)
     # per-group int8 GEMMs: contract gsz, batch n_g → [..., n_g, d_out]
     acc = jnp.einsum("...gk,gko->...go", xg, q,
                      preferred_element_type=jnp.int32)
-    y = jnp.sum(acc.astype(jnp.float32) * g_scale[..., 0, :], axis=-2)
+    y = jnp.sum(acc.astype(jnp.float32) * g_scale, axis=-2)
     return (y * sx).astype(x.dtype)
 
 
 @jax.custom_vjp
 def dyn_int4_matmul(x, q4, g_scale):
-    """x [..., K] float; q4 [K/2, N] packed int4; g_scale [K/G, 1, N].
+    """x [..., K] float; q4 [K/2, N] packed int4; g_scale [K/G, N].
     Straight-through VJP like dyn_int8_matmul (dx also int8×int8)."""
     return _dyn4_fwd_raw(x, q4, g_scale)
 
@@ -167,15 +178,13 @@ def _dyn4_vjp_bwd(res, g):
     q4, g_scale = res
     half_in, d_out = q4.shape[-2:]
     d_in = half_in * 2
-    n_g = g_scale.shape[-3]
+    n_g = g_scale.shape[-2]
     gsz = d_in // n_g
-    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)
-    hi = jnp.right_shift(q4, 4)
-    q = jnp.stack([lo, hi], axis=-2).reshape(*q4.shape[:-2], n_g, gsz, d_out)
+    q = unpack_int4(q4).reshape(*q4.shape[:-2], n_g, gsz, d_out)
     # dx[..., (g,k)] = Σ_o g[..., o] · w_scale[g, o] · q[g, k, o]: fold the
     # per-(group, out) weight scale into g BEFORE quantizing (it varies over
     # the contracted dim, so it cannot be applied after the int matmul)
-    gsw = g.astype(jnp.float32)[..., None, :] * g_scale[..., 0, :]  # [..., n_g, d_out]
+    gsw = g.astype(jnp.float32)[..., None, :] * g_scale  # [..., n_g, d_out]
     amax = jnp.max(jnp.abs(gsw), axis=-1, keepdims=True)
     s_r = jnp.maximum(amax / 127.0, 1e-12)                  # [..., n_g, 1]
     gq2 = jnp.round(gsw / s_r).astype(jnp.int8)
@@ -188,6 +197,74 @@ def _dyn4_vjp_bwd(res, g):
 
 
 dyn_int4_matmul.defvjp(_dyn4_vjp_fwd, _dyn4_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# W4A8-requant: grouped-int4 weights re-quantized on the fly onto a
+# per-output-channel int8 grid, then ONE int8×int8 MXU GEMM. Each group's
+# values map as q8 = round(q4 · s_g/S_n · 127/7) with S_n = max_g s_g — group
+# structure survives on the 18×-finer int8 grid (extra error ≤ S_n/254 per
+# weight vs the group grid's s_g/2), and the whole contraction rides the
+# 394-TOPS int8 path instead of per-group K=128 GEMMs (dyn_int4_matmul) or a
+# bf16 dequant GEMM. Measured 121 vs 77 TFLOPs-equiv at the 20B Qwen's
+# shapes (docs/PERF.md). Reference role: the fp4 compute rows of
+# models/quantize.py:169-273.
+
+def _requant_factors(g_scale):
+    """g_scale [..., K/G, N] → (f [..., K/G, N], s_vec [..., N])."""
+    S = jnp.maximum(jnp.max(g_scale, axis=-2, keepdims=True), 1e-30)
+    f = (g_scale / S) * (127.0 / 7.0)
+    s_vec = (S[..., 0, :] * (7.0 / 127.0)).astype(jnp.float32)
+    return f.astype(jnp.float32), s_vec
+
+
+def _requant_q8(q4, f):
+    """Unpack half-split int4 and re-quantize to the per-channel int8 grid."""
+    q = unpack_int4(q4)
+    *lead, d_in, d_out = q.shape
+    n_g = f.shape[-2]
+    g = q.reshape(*lead, n_g, d_in // n_g, d_out).astype(jnp.float32)
+    return jnp.round(g * f[..., :, None, :]).astype(jnp.int8).reshape(
+        *lead, d_in, d_out)
+
+
+def _rq4_fwd_raw(x, q4, g_scale):
+    f, s_vec = _requant_factors(g_scale)
+    q8 = _requant_q8(q4, f)
+    xq, sx = _rowquant(x)
+    acc = jax.lax.dot_general(xq, q8, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * s_vec).astype(x.dtype)
+
+
+@jax.custom_vjp
+def requant_int4_matmul(x, q4, g_scale):
+    """x [..., K] float; q4 [K/2, N] half-split packed int4;
+    g_scale [K/G, N]. Straight-through VJP: dx re-uses the same int8
+    requantized weights (recomputed — elementwise, never materialized in HBM
+    across the step)."""
+    return _rq4_fwd_raw(x, q4, g_scale)
+
+
+def _rq4_vjp_fwd(x, q4, g_scale):
+    return _rq4_fwd_raw(x, q4, g_scale), (q4, g_scale)
+
+
+def _rq4_vjp_bwd(res, g):
+    q4, g_scale = res
+    f, s_vec = _requant_factors(g_scale)
+    q8 = _requant_q8(q4, f)
+    gs = g.astype(jnp.float32) * s_vec
+    gq, sg = _rowquant(gs)
+    dxa = jax.lax.dot_general(gq, q8, (((gs.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (dxa.astype(jnp.float32) * sg).astype(g.dtype)
+    return (dx,
+            np.zeros(q4.shape, jax.dtypes.float0),
+            jnp.zeros_like(g_scale))
+
+
+requant_int4_matmul.defvjp(_rq4_vjp_fwd, _rq4_vjp_bwd)
 
 
 def quantize_tree(params, qcfg) -> dict:
@@ -213,12 +290,13 @@ def quantize_tree(params, qcfg) -> dict:
                         return node  # odd/ragged in-dim: keep full precision
                     q, scale = quantize_kernel_int4(k, group_size)
                     out["kernel_q4"] = q
-                elif qcfg.dtype == "int4_dynamic":
+                elif qcfg.dtype in ("int4_dynamic", "int4_requant"):
                     k = node["kernel"]
                     if k.shape[-2] % 2 or k.shape[-2] % min(group_size, k.shape[-2]):
                         return node
                     q, scale = quantize_kernel_int4(k, group_size)
-                    out["kernel_q4_dyn"] = q
+                    out["kernel_q4_dyn" if qcfg.dtype == "int4_dynamic"
+                        else "kernel_q4_rq"] = q
                 elif qcfg.dtype == "int8_dynamic":
                     q, scale = quantize_kernel(node["kernel"], "int8")
                     out["kernel_q_dyn"] = q

@@ -253,7 +253,12 @@ class Trainer:
 
         for epoch in range(self.epoch, cfg.train.num_epochs):
             self.epoch = epoch
-            for batch in dataloader:
+            batch_iter = iter(dataloader)
+            batch = next(batch_iter, None)
+            emb = (self._device_batch(self._embeddings_for_batch(batch),
+                                      batch_sharding)
+                   if batch is not None else None)
+            while batch is not None:
                 if cfg.logging.profile_dir:
                     # trace steps 2-4: past compile, short enough to view
                     if self.global_step == 1 and not profiling:
@@ -264,12 +269,17 @@ class Trainer:
                         profiling = False
                         logging.info("profiler trace written to %s",
                                      cfg.logging.profile_dir)
-                emb = self._embeddings_for_batch(batch)
-                emb = self._device_batch(emb, batch_sharding)
                 t_step = time.monotonic()
                 self.state, metrics = step_fn(self.state, self.bundle.dit_params,
                                               emb, rng)
                 self.global_step += 1
+                # one-step batch prefetch: jit dispatch is async, so stage the
+                # NEXT batch (cache IO / encode / device_put) while the step
+                # runs on device, THEN block on the loss scalar
+                next_batch = next(batch_iter, None)
+                emb = (self._device_batch(self._embeddings_for_batch(next_batch),
+                                          batch_sharding)
+                       if next_batch is not None else None)
                 loss = float(metrics["loss"])  # forces the step (tunnel-safe)
                 if self.global_step == 1:
                     # trace+compile of the jitted step (reference has no
@@ -296,6 +306,7 @@ class Trainer:
                 if self._interrupted or self.global_step >= max_steps:
                     done = True
                     break
+                batch = next_batch
             if done:
                 break
         if profiling:
@@ -401,6 +412,7 @@ class Trainer:
     def _device_batch(self, emb: dict, sharding) -> dict:
         out = {}
         dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
+        n_data = self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
         for k, v in emb.items():
             arr = jnp.asarray(v)
             if arr.dtype in (jnp.float32, jnp.float16, jnp.float64):
@@ -408,6 +420,11 @@ class Trainer:
             batch_leading = (arr.ndim >= 1 and arr.shape[0] > 1
                              and not k.startswith(SHARED_BATCH_KEY_PREFIXES))
             if batch_leading:
+                if arr.shape[0] % n_data:
+                    raise ValueError(
+                        f"batch size {arr.shape[0]} (key {k!r}) must be divisible "
+                        f"by dp×fsdp = {n_data} (mesh {dict(self.mesh.shape)}); "
+                        "adjust data.batch_size or the mesh section")
                 arr = jax.device_put(arr, sharding)
             out[k] = arr
         return out

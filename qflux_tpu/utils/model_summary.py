@@ -28,7 +28,8 @@ def _leaf_stats(tree):
         nonlocal n, b
         if isinstance(node, dict):
             for k, v in node.items():
-                rec(v, under_q4=(k in ("kernel_q4", "kernel_q4_dyn")))
+                rec(v, under_q4=(k in ("kernel_q4", "kernel_q4_dyn",
+                                       "kernel_q4_rq")))
             return
         if not hasattr(node, "shape"):
             return
@@ -66,7 +67,7 @@ def _attention_stats(tree) -> dict:
             if path and path[-1] == "attn":
                 layers = 1
                 kkeys = ("kernel", "kernel_q", "kernel_q4",
-                         "kernel_q_dyn", "kernel_q4_dyn")
+                         "kernel_q_dyn", "kernel_q4_dyn", "kernel_q4_rq")
                 for v in node.values():
                     k = next((v[kk] for kk in kkeys if isinstance(v, dict)
                               and kk in v), None)

@@ -34,7 +34,7 @@ def _synthetic_int4_params(cfg, init_fn):
                     out["kernel_q4"] = jnp.ones(
                         k.shape[:-2] + (k.shape[-2] // 2, k.shape[-1]), jnp.int8)
                     out["kernel_scale"] = jnp.full(
-                        k.shape[:-2] + (k.shape[-2] // 128, 1, k.shape[-1]),
+                        k.shape[:-2] + (k.shape[-2] // 128, k.shape[-1]),
                         1e-2, jnp.float32)
                     return out
             return {kk: build(v) for kk, v in node.items()}
@@ -62,12 +62,14 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
 
     cfg = qwen.QwenImageConfig()  # full 60 layers; 20B → int4 only fits
     params = _synthetic_int4_params(cfg, qwen.init)
-    if quant == "w4a8":
+    if quant in ("w4a8", "requant"):
+        new_key = {"w4a8": "kernel_q4_dyn", "requant": "kernel_q4_rq"}[quant]
+
         def rename(node):
             if isinstance(node, dict):
                 if "kernel_q4" in node:
                     out = dict(node)
-                    out["kernel_q4_dyn"] = out.pop("kernel_q4")
+                    out[new_key] = out.pop("kernel_q4")
                     return out
                 return {k: rename(v) for k, v in node.items()}
             return node
