@@ -135,6 +135,23 @@ def main():
     #    tests/ops/test_int8_dynamic.py); 1.3× a bf16 GEMM at these shapes
     dt_dyn, compile_dyn = timed(_w8a8_params(params)) if on_tpu else (dt_wo, 0.0)
 
+    # 3) the 20B Qwen-Image-Edit DiT (int4_requant base — the only numerics
+    #    that fits 20B on one 16 GB v5e); reference quantized-base rows:
+    #    0.4 img/s aggregate on 2×RTX4090 fp4-DDP = 0.2/chip
+    qwen_fps = None
+    if on_tpu:
+        try:
+            from scripts.bench_variants import run_qwen_variant
+            import io, contextlib, re as _re
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                run_qwen_variant("flash", 1, "requant", n_iters=6)
+            m_q = _re.search(r"(\d+\.\d+) img/s", buf.getvalue())
+            qwen_fps = float(m_q.group(1)) if m_q else None
+        except Exception:
+            qwen_fps = None
+
     # report each configuration under its own label (no silent min())
     dt = dt_dyn if on_tpu else dt_wo
     fps = batch_size / dt
@@ -156,6 +173,9 @@ def main():
         "mfu_est": round(mfu, 4) if np.isfinite(mfu) else None,
         "int8_weight_only_fps": round(fps_wo, 4),
         "vs_baseline_weight_only": round(fps_wo / BASELINE_FPS_PER_CHIP, 4),
+        "qwen20b_int4_requant_fps": qwen_fps,
+        "qwen20b_vs_reference_per_chip": (round(qwen_fps / 0.2, 2)
+                                          if qwen_fps else None),
         "note": "baseline 0.85 img/s/chip (1.7 aggregate, 2xRTX4090 bf16-FSDP); "
                 "headline = W8A8-dynamic (int8 MXU matmuls, per-row dynamic "
                 "activation scales, straight-through VJP, convergence-tested); "

@@ -132,7 +132,9 @@ class MeshSection(StrictModel):
     # "flash" (default) = full recompute EXCEPT the flash-attention kernel
     # outputs (+11% step time vs "full" at ~1 GB extra; docs/PERF.md);
     # "minimal" = save matmul outputs (most memory, least recompute).
-    remat: Literal["none", "minimal", "full", "flash"] = "flash"
+    # flash_mlp = flash + saved MLP pre-activations (skips the 4×-wide GEMM
+    # recompute in backward; exact, costs the bf16 hidden per block)
+    remat: Literal["none", "minimal", "full", "flash", "flash_mlp"] = "flash"
 
 
 class LoraSection(StrictModel):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
 from qflux_tpu.ops.attention import dot_product_attention
-from qflux_tpu.ops.layers import dense, dense_init, mlp_init
+from qflux_tpu.ops.layers import dense, dense_init, mlp_init, named_checkpoint
 from qflux_tpu.ops.norms import ada_ln_mods, layer_norm, modulate, rms_norm
 from qflux_tpu.ops.rope import rope_from_coords
 
@@ -190,7 +190,17 @@ def _apply_rope_heads(x, cos, sin):
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _dual_block(p, cfg, img, txt, temb, cos, sin, seg, attn_impl):
+def _mlp_hidden(p_in, x, mlp_save):
+    """MLP up-projection + GELU, optionally with an named remat save point on
+    the pre-activation (the 'flash_mlp' policy: backward reuses the saved
+    hidden instead of re-running the 4×-wide GEMM)."""
+    h = dense(p_in, x)
+    if mlp_save:
+        h = named_checkpoint(h, "mlp_h")
+    return jax.nn.gelu(h, approximate=True)
+
+
+def _dual_block(p, cfg, img, txt, temb, cos, sin, seg, attn_impl, mlp_save=False):
     n_h = cfg.num_attention_heads
     st = txt.shape[1]
 
@@ -221,16 +231,16 @@ def _dual_block(p, cfg, img, txt, temb, cos, sin, seg, attn_impl):
     img = img + i_gate[:, None, :].astype(img.dtype) * dense(a["to_out"], img_attn)
     img_mlp_in = modulate(layer_norm(img), i_shift2, i_scale2)
     img = img + i_gate2[:, None, :].astype(img.dtype) * dense(
-        p["img_mlp"]["out"], jax.nn.gelu(dense(p["img_mlp"]["in"], img_mlp_in), approximate=True))
+        p["img_mlp"]["out"], _mlp_hidden(p["img_mlp"]["in"], img_mlp_in, mlp_save))
 
     txt = txt + t_gate[:, None, :].astype(txt.dtype) * dense(a["add_out"], txt_attn)
     txt_mlp_in = modulate(layer_norm(txt), t_shift2, t_scale2)
     txt = txt + t_gate2[:, None, :].astype(txt.dtype) * dense(
-        p["txt_mlp"]["out"], jax.nn.gelu(dense(p["txt_mlp"]["in"], txt_mlp_in), approximate=True))
+        p["txt_mlp"]["out"], _mlp_hidden(p["txt_mlp"]["in"], txt_mlp_in, mlp_save))
     return img, txt
 
 
-def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl):
+def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl, mlp_save=False):
     n_h = cfg.num_attention_heads
     shift, scale, gate = ada_ln_mods(p["mod"], temb, 3)
     x_n = modulate(layer_norm(x), shift, scale)
@@ -244,7 +254,7 @@ def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl):
     o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
     o = o.reshape(o.shape[0], o.shape[1], -1)
 
-    mlp = jax.nn.gelu(dense(p["proj_mlp"], x_n), approximate=True)
+    mlp = _mlp_hidden(p["proj_mlp"], x_n, mlp_save)
     out = dense(p["proj_out"], jnp.concatenate([o, mlp], axis=-1))
     return x + gate[:, None, :].astype(x.dtype) * out
 
@@ -289,10 +299,11 @@ def forward(
 
     st = txt.shape[1]
 
+    mlp_save = remat and remat_policy == "flash_mlp"
     dual_fn = lambda carry, p: (_dual_block(p, cfg, carry[0], carry[1], temb, cos, sin,
-                                            segment_ids, attn_impl), None)
+                                            segment_ids, attn_impl, mlp_save), None)
     single_fn = lambda x, p: (_single_block(p, cfg, x, temb, cos, sin, segment_ids,
-                                            attn_impl), None)
+                                            attn_impl, mlp_save), None)
     if remat:
         policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                   "dots_all": jax.checkpoint_policies.dots_saveable,
@@ -305,6 +316,11 @@ def forward(
                   # skips their GEMM+rope recompute at ~2.7 GB extra (512²)
                   "flash_qkv": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
+                  # flash + saved MLP pre-activations (ops/layers.py
+                  # named_checkpoint): backward skips re-running the 4×-wide
+                  # MLP GEMMs at the cost of storing the bf16 hidden
+                  "flash_mlp": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "mlp_h"),
                   "full": None}[remat_policy]
         dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
         single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
 from qflux_tpu.ops.attention import dot_product_attention
-from qflux_tpu.ops.layers import dense, dense_init, mlp_init
+from qflux_tpu.ops.layers import dense, dense_init, mlp_init, named_checkpoint
 from qflux_tpu.ops.norms import layer_norm, rms_norm
 from qflux_tpu.ops.rope import qwen_rope
 
@@ -150,7 +150,17 @@ def _modulate3(x, mod):
     return y, gate[:, None, :].astype(x.dtype)
 
 
-def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg, attn_impl):
+def _mlp_hidden(p_in, x, mlp_save):
+    """MLP up-projection + GELU with an optional named remat save point on the
+    pre-activation (flash_mlp policy — see ops/layers.named_checkpoint)."""
+    h = dense(p_in, x)
+    if mlp_save:
+        h = named_checkpoint(h, "mlp_h")
+    return jax.nn.gelu(h, approximate=True)
+
+
+def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg,
+           attn_impl, mlp_save=False):
     n_h = cfg.num_attention_heads
     st = txt.shape[1]
 
@@ -188,10 +198,10 @@ def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg, attn
 
     img_n2, img_gate2 = _modulate3(layer_norm(img), img_mod2)
     img = img + img_gate2 * dense(
-        p["img_mlp"]["out"], jax.nn.gelu(dense(p["img_mlp"]["in"], img_n2), approximate=True))
+        p["img_mlp"]["out"], _mlp_hidden(p["img_mlp"]["in"], img_n2, mlp_save))
     txt_n2, txt_gate2 = _modulate3(layer_norm(txt), txt_mod2)
     txt = txt + txt_gate2 * dense(
-        p["txt_mlp"]["out"], jax.nn.gelu(dense(p["txt_mlp"]["in"], txt_n2), approximate=True))
+        p["txt_mlp"]["out"], _mlp_hidden(p["txt_mlp"]["in"], txt_n2, mlp_save))
     return img, txt
 
 
@@ -224,9 +234,11 @@ def forward(
                          scale_rope=cfg.scale_rope)
     vid_cos, vid_sin, txt_cos, txt_sin = rope
 
+    mlp_save = remat and remat_policy == "flash_mlp"
+
     def body(carry, p):
         i, t = _block(p, cfg, carry[0], carry[1], temb, vid_cos, vid_sin,
-                      txt_cos, txt_sin, segment_ids, attn_impl)
+                      txt_cos, txt_sin, segment_ids, attn_impl, mlp_save)
         return (i, t), None
 
     if remat:
@@ -236,6 +248,8 @@ def forward(
                       "flash_out", "flash_lse"),
                   "flash_qkv": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
+                  "flash_mlp": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "mlp_h"),
                   "full": None}[remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

@@ -122,6 +122,26 @@ def mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
     return dense(p["out"], jax.nn.gelu(dense(p["in"], x), approximate=True))
 
 
+def named_checkpoint(h: jax.Array, name: str) -> jax.Array:
+    """Named remat save point: tag `h` with `checkpoint_name` so a
+    save_only_these_names(..., name) remat policy keeps this tensor and the
+    backward recompute restarts HERE — the GEMM that produced `h` is never
+    re-run (verified by HLO cost analysis: one GEMM per block disappears
+    from the bwd scan body). Numerically exact; the cost is storing `h`
+    (bf16 in the standard training path).
+
+    Why not store at f8/int8: JAX types the cotangent of a low-precision
+    primal at that same dtype, so a cast-based save rounds the GRADIENT to
+    e4m3 (≈25% error + NaN from range mismatch — measured), and any
+    straight-through formulation (stop_gradient / custom_vjp) keeps `h`
+    live in the recompute graph and defeats the policy. Exact bf16 saving
+    is the only formulation that both elides the GEMM and preserves
+    gradients."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(h, name)
+
+
 # ---------------------------------------------------------------------------
 # LoRA tree plumbing
 

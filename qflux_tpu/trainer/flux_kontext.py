@@ -61,7 +61,8 @@ class ModelBundle:
 
 def remat_policy_from_config(remat_cfg: str) -> str:
     """mesh.remat YAML value → transformer remat_policy name."""
-    return {"minimal": "dots", "full": "full", "flash": "flash"}.get(remat_cfg, "flash")
+    return {"minimal": "dots", "full": "full", "flash": "flash",
+            "flash_mlp": "flash_mlp"}.get(remat_cfg, "flash")
 
 
 class SimpleTokenizer:
