@@ -75,8 +75,28 @@ def _w8a8_params(int8_params):
 
 def main():
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var (it registers at
+    # plugin discovery) — honor an explicit cpu request via the config knob,
+    # or the CI/test subprocess silently benchmarks on the real chip
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
+
+    # persistent XLA compilation cache (same location as qflux_tpu.main):
+    # the full-model compiles here are 1-5 min cold, seconds warm. TPU-only:
+    # CPU AOT results don't port across host machine types (SIGILL risk).
+    cache_dir = os.environ.get("QFLUX_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/qflux_tpu/xla"))
+    if cache_dir and cache_dir != "0" and jax.default_backend() == "tpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(cache_dir, jax.default_backend()))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
 
     from qflux_tpu.losses import MseLoss
     from qflux_tpu.models.flux import transformer as flux
@@ -88,52 +108,61 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = flux.FluxConfig()            # the REAL 19+38-layer model
-        params = _synthetic_int8_params(cfg)
         batch_size, grid, txt_len, n_iters = 1, 32, 512, 12
         # "flash" = full recompute except the attention kernel's out+lse
         # (+11% over "full" at ~1 GB extra; docs/PERF.md round-2 table)
         remat_policy = "flash"
     else:
         cfg = flux.FluxConfig.tiny()
-        params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         batch_size, grid, txt_len, n_iters = 2, 8, 32, 3
         remat_policy = "dots"
 
-    adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True,
-                                 remat_policy=remat_policy)
-    opt = optax.adamw(1e-4)
-    step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
-    batch = _flux_inputs(cfg, batch=batch_size, grid_h=grid, grid_w=grid,
-                         txt_len=txt_len, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
+    def bench_flux():
+        """Both FLUX configurations in one scope so every device buffer
+        (12 GB int8 tree, batch, closures) is freed on return — the 20B Qwen
+        bench below cannot coexist with them on a 16 GB chip."""
+        params = (_synthetic_int8_params(cfg) if on_tpu
+                  else flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+        adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True,
+                                     remat_policy=remat_policy)
+        opt = optax.adamw(1e-4)
+        step = make_train_step(adapter.predict_velocity, MseLoss(), opt,
+                               TrainStepConfig())
+        batch = _flux_inputs(cfg, batch=batch_size, grid_h=grid, grid_w=grid,
+                             txt_len=txt_len, dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
 
-    def fresh_state():
-        lora = build_lora_tree(
-            jax.random.PRNGKey(1), params,
-            [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
-            rank=16, alpha=16, dtype=jnp.bfloat16)
-        return TrainState.create(lora, opt)
+        def fresh_state():
+            lora = build_lora_tree(
+                jax.random.PRNGKey(1), params,
+                [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
+                rank=16, alpha=16, dtype=jnp.bfloat16)
+            return TrainState.create(lora, opt)
 
-    def timed(p):
-        """NOTE: on the axon tunnel, block_until_ready does NOT block —
-        timing forces a scalar fetch (≈26 ms, amortized over n_iters)."""
-        t_compile = time.perf_counter()
-        state, m = step(fresh_state(), p, batch, rng)
-        _ = float(m["loss"])
-        compile_s = time.perf_counter() - t_compile
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, m = step(state, p, batch, rng)
-        _ = float(m["loss"])
-        return (time.perf_counter() - t0) / n_iters, compile_s
+        def timed(p):
+            """NOTE: on the axon tunnel, block_until_ready does NOT block —
+            timing forces a scalar fetch (≈26 ms, amortized over n_iters)."""
+            t_compile = time.perf_counter()
+            state, m = step(fresh_state(), p, batch, rng)
+            _ = float(m["loss"])
+            compile_s = time.perf_counter() - t_compile
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                state, m = step(state, p, batch, rng)
+            _ = float(m["loss"])
+            return (time.perf_counter() - t0) / n_iters, compile_s
 
-    # 1) int8 weight-only base (bf16 activations — the reference's
-    #    quantized-base numerics class)
-    dt_wo, compile_wo = timed(params)
-    # 2) W8A8-dynamic: int8×int8 on the MXU with dynamic per-row activation
-    #    scales + straight-through VJP (convergence-tested vs fp32,
-    #    tests/ops/test_int8_dynamic.py); 1.3× a bf16 GEMM at these shapes
-    dt_dyn, compile_dyn = timed(_w8a8_params(params)) if on_tpu else (dt_wo, 0.0)
+        # 1) int8 weight-only base (bf16 activations — the reference's
+        #    quantized-base numerics class)
+        dt_wo, compile_wo = timed(params)
+        # 2) W8A8-dynamic: int8×int8 on the MXU with dynamic per-row
+        #    activation scales + straight-through VJP (convergence-tested vs
+        #    fp32, tests/ops/test_int8_dynamic.py); 1.3× bf16 at these shapes
+        dt_dyn, compile_dyn = (timed(_w8a8_params(params)) if on_tpu
+                               else (dt_wo, 0.0))
+        return dt_wo, compile_wo, dt_dyn, compile_dyn
+
+    dt_wo, compile_wo, dt_dyn, compile_dyn = bench_flux()
 
     # 3) the 20B Qwen-Image-Edit DiT (int4_requant base — the only numerics
     #    that fits 20B on one 16 GB v5e); reference quantized-base rows:
@@ -149,7 +178,9 @@ def main():
                 run_qwen_variant("flash", 1, "requant", n_iters=6)
             m_q = _re.search(r"(\d+\.\d+) img/s", buf.getvalue())
             qwen_fps = float(m_q.group(1)) if m_q else None
-        except Exception:
+        except Exception as e:
+            print(f"qwen20b bench skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             qwen_fps = None
 
     # report each configuration under its own label (no silent min())

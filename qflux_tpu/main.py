@@ -54,7 +54,11 @@ def main(argv=None):
                                os.path.expanduser("~/.cache/qflux_tpu/xla"))
     if cache_dir and cache_dir != "0":
         try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # per-backend subdir: a CPU AOT result cached by a run on another
+            # host machine type can SIGILL if replayed here (XLA warns), and
+            # TPU/CPU entries must never mix
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(cache_dir, jax.default_backend()))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         except Exception as e:
             logging.debug("compilation cache unavailable: %s", e)
