@@ -1,0 +1,194 @@
+"""Mesh memory planner: answer "does this model fit at this mesh?" offline.
+
+The reference answers fit questions by trial OOM on real GPUs (its README
+FSDP/DDP memory tables are measured, reference README.md:361-364,617-632).
+The TPU-native answer comes from XLA itself: AOT-lower the jitted LoRA
+train step with sharded `ShapeDtypeStruct`s — no arrays are materialized —
+compile it, and read per-device argument/temp/peak bytes out of
+`compiled.memory_analysis()`, plus the collectives GSPMD inserted (the
+all-gather/reduce-scatter structure IS the FSDP/TP communication plan).
+
+Runs on any backend with enough devices — typically the n-device virtual
+CPU platform (`XLA_FLAGS=--xla_force_host_platform_device_count=n`).
+CPU buffer layouts pad slightly differently from TPU HBM tiles, so treat
+byte totals as estimates (±few %); the sharding arithmetic and collective
+structure are exactly what the TPU build would get.
+
+CLI wrapper: `scripts/mesh_report.py` (self-contained re-exec, table
+output over several candidate meshes).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all")
+
+
+def _widthed(config_cls, width: str):
+    if width == "tiny":
+        return config_cls.tiny()
+    if width == "bench":
+        return config_cls.bench()
+    if width == "full":
+        return config_cls()
+    raise ValueError(f"width must be tiny|bench|full, got {width!r}")
+
+
+def _with_shardings(shapes: Any, shardings: Any) -> Any:
+    return jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        shapes, shardings)
+
+
+def _replicated(shapes: Any, mesh) -> Any:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep), shapes)
+
+
+def _batch_sharded(shapes: Any, mesh, batch_size: int) -> Any:
+    """Leading-batch leaves shard over (dp, fsdp); shared tables replicate
+    (same placement rule as the fit loop, trainer/base.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = NamedSharding(mesh, P(("dp", "fsdp")))
+    rep = NamedSharding(mesh, P())
+
+    def place(s):
+        sh = bsh if (s.ndim >= 2 and s.shape[0] == batch_size) else rep
+        return jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh)
+
+    return jax.tree.map(place, shapes)
+
+
+def plan(model: str = "flux", width: str = "bench", *,
+         mesh_axes: dict[str, int] | None = None,
+         batch_size: int | None = None, grid: int = 32, txt_len: int = 512,
+         quant_dtype: str | None = None, group_size: int = 128,
+         remat_policy: str = "flash", lora_rank: int = 16,
+         weight_dtype=jnp.bfloat16) -> dict:
+    """Compile the LoRA train step for one (model, mesh) point; return the
+    per-device memory analysis + collective counts.  Raises if the active
+    backend has fewer devices than the mesh needs."""
+    import optax
+
+    from qflux_tpu.losses import MseLoss
+    from qflux_tpu.ops.layers import build_lora_tree
+    from qflux_tpu.parallel import MeshConfig, build_mesh
+    from qflux_tpu.parallel.partitioning import mmdit_rules, named_sharding_tree
+    from qflux_tpu.trainer.train_step import (TrainState, TrainStepConfig,
+                                              make_train_step)
+
+    mesh = build_mesh(MeshConfig(**(mesh_axes or {"fsdp": -1})))
+    if batch_size is None:
+        batch_size = mesh.shape["dp"] * mesh.shape["fsdp"]
+
+    if model == "flux":
+        from qflux_tpu.models.flux import transformer as mt
+        from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+
+        cfg = _widthed(mt.FluxConfig, width)
+        adapter = FluxKontextAdapter(cfg, attn_impl="xla", remat=True,
+                                     remat_policy=remat_policy)
+        predict = adapter.predict_velocity
+
+        def batch_shapes():
+            from __graft_entry__ import _flux_inputs
+            return _flux_inputs(cfg, batch=batch_size, grid_h=grid,
+                                grid_w=grid, txt_len=txt_len,
+                                dtype=weight_dtype)
+    elif model == "qwen":
+        from qflux_tpu.models.qwen import transformer as mt
+        from qflux_tpu.ops.rope import qwen_rope
+
+        cfg = _widthed(mt.QwenImageConfig, width)
+        s_img = grid * grid
+        frames = [(1, grid, grid), (1, grid, grid)]
+
+        def predict(p, b, noisy, sigma):
+            latents = jnp.concatenate([noisy, b["control_latents"]], axis=1)
+            out = mt.forward(p, cfg, latents, b["prompt_embeds"], sigma,
+                             frames, rope=b["rope_tables"], attn_impl="xla",
+                             remat=True, remat_policy=remat_policy)
+            return out[:, :s_img, : cfg.in_channels]
+
+        def batch_shapes():
+            rope = qwen_rope(frames, txt_len, cfg.axes_dims_rope,
+                             scale_rope=cfg.scale_rope)
+            k = jax.random.PRNGKey(0)
+            return {
+                "image_latents": jax.random.normal(
+                    k, (batch_size, s_img, cfg.in_channels), weight_dtype),
+                "control_latents": jax.random.normal(
+                    k, (batch_size, s_img, cfg.in_channels), weight_dtype),
+                "prompt_embeds": jax.random.normal(
+                    k, (batch_size, txt_len, cfg.joint_attention_dim),
+                    weight_dtype),
+                "rope_tables": tuple(jnp.asarray(r) for r in rope),
+            }
+    else:
+        raise ValueError(f"model must be flux|qwen, got {model!r}")
+
+    def param_shapes():
+        p = mt.init(jax.random.PRNGKey(0), cfg, dtype=weight_dtype)
+        if quant_dtype:
+            from qflux_tpu.config import QuantizeSection
+            from qflux_tpu.ops.quant import quantize_tree
+
+            p = quantize_tree(p, QuantizeSection(
+                enabled=True, dtype=quant_dtype, group_size=group_size))
+        return p
+
+    p_sds = jax.eval_shape(param_shapes)
+    p_sds = _with_shardings(p_sds, named_sharding_tree(p_sds, mmdit_rules(), mesh))
+
+    opt = optax.adamw(1e-4)
+    targets = [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"]
+    state_sds = _replicated(
+        jax.eval_shape(lambda: TrainState.create(
+            build_lora_tree(jax.random.PRNGKey(1), p_sds, targets,
+                            rank=lora_rank, alpha=lora_rank,
+                            dtype=weight_dtype), opt)), mesh)
+    b_sds = _batch_sharded(jax.eval_shape(batch_shapes), mesh, batch_size)
+
+    step = make_train_step(predict, MseLoss(), opt, TrainStepConfig(),
+                           mesh=mesh)
+    t0 = time.perf_counter()
+    compiled = step.lower(state_sds, p_sds, b_sds,
+                          jax.random.PRNGKey(0)).compile()
+    compile_s = time.perf_counter() - t0
+
+    ma = compiled.memory_analysis()
+    hlo = compiled.as_text()
+    counts = {c: len(re.findall(rf"{c}(?:-start)?[.\d]*\(", hlo))
+              for c in COLLECTIVES}
+    mb = 1024 * 1024
+    # state+params are donated/aliased into outputs, so resident bytes are
+    # arguments + temps (outputs alias); peak_memory_in_bytes on the CPU
+    # backend under-reports temps, so take the max of both views
+    resident = max(ma.peak_memory_in_bytes,
+                   ma.argument_size_in_bytes + ma.temp_size_in_bytes)
+    return {
+        "model": model, "width": width, "mesh": dict(mesh.shape),
+        "batch_size": batch_size, "grid": grid, "txt_len": txt_len,
+        "quant": quant_dtype or "bf16", "remat_policy": remat_policy,
+        "per_device_mb": {
+            "arguments": round(ma.argument_size_in_bytes / mb, 1),
+            "temp": round(ma.temp_size_in_bytes / mb, 1),
+            "output": round(ma.output_size_in_bytes / mb, 1),
+            "resident_est": round(resident / mb, 1),
+        },
+        "collectives": counts,
+        "compile_s": round(compile_s, 1),
+        "fits_16gb_v5e": resident < 15.2e9,  # ~800 MB runtime slack
+    }
