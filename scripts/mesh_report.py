@@ -62,10 +62,14 @@ def main(argv=None) -> None:
     import jax
 
     try:
+        backend = jax.default_backend()
         available = len(jax.devices())
     except RuntimeError:
-        available = 0
-    if available < n_needed:
+        backend, available = "", 0
+    # always plan on the virtual CPU platform: compiling the full model for
+    # the real chip (through the tunnel) is minutes-slow and can OOM — the
+    # planner's whole point is answering fit questions without the hardware
+    if backend != "cpu" or available < n_needed:
         _reexec_on_cpu(n_needed)
         return
 
