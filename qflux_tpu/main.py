@@ -32,7 +32,65 @@ def parse_args(argv=None):
                    help="call jax.distributed.initialize() (multi-host pods)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture an XLA profiler trace of steps 2-4 into DIR")
+    p.add_argument("--plan", action="store_true",
+                   help="preflight: per-device memory + collective report for "
+                        "this config's mesh (no TPU needed), then exit")
+    p.add_argument("--plan-devices", type=int, default=None, metavar="N",
+                   help="device count assumed by --plan when mesh axes use -1")
     return p.parse_args(argv)
+
+
+def _run_plan(config, args) -> None:
+    """--plan: derive mesh_report.py flags from the config and run it (the
+    report itself executes on a virtual CPU platform in a subprocess —
+    qflux_tpu/parallel/planner.py)."""
+    import subprocess
+
+    trainer_name = str(config.trainer).lower()
+    model = "qwen" if ("qwen" in trainer_name or "dreamomni" in trainer_name) else "flux"
+    width = "tiny" if getattr(config.model, "variant", "") == "test" else "full"
+
+    m = config.mesh
+    sizes = {"dp": m.dp, "fsdp": m.fsdp, "tp": m.tp, "sp": m.sp}
+    if -1 in sizes.values():
+        n = args.plan_devices
+        if n is None:
+            raise SystemExit(
+                "--plan: mesh uses -1 (absorb remaining devices); pass "
+                "--plan-devices N for the target slice size")
+        from qflux_tpu.parallel.mesh import MeshConfig
+
+        sizes = MeshConfig(dp=m.dp, fsdp=m.fsdp, tp=m.tp, sp=m.sp).resolve(n)
+    spec = ",".join(f"{k}{v}" for k, v in sizes.items() if v > 1) or "fsdp1"
+
+    # packed 2×2 latent grid: H/16 (e.g. 512² → 32); multi-res uses the
+    # largest candidate
+    grid = 32
+    ts = config.data.processor.target_size
+    if ts:
+        grid = max(2, int(max(ts) // 16))
+
+    from qflux_tpu.trainer.flux_kontext import remat_policy_from_config
+
+    # the fit loop shards the global batch over dp×fsdp, so plan with the
+    # config batch rounded up to a multiple of the data axes
+    n_data = sizes["dp"] * sizes["fsdp"]
+    bs = max(config.data.batch_size, n_data)
+    bs = ((bs + n_data - 1) // n_data) * n_data
+    if bs != config.data.batch_size:
+        print(f"--plan: batch {config.data.batch_size} -> {bs} "
+              f"(must divide dp*fsdp={n_data})")
+
+    cmd = [sys.executable, os.path.join(os.path.dirname(__file__), os.pardir,
+                                        "scripts", "mesh_report.py"),
+           "--model", model, "--width", width, "--meshes", spec,
+           "--grid", str(grid), "--batch-size", str(bs),
+           "--remat", remat_policy_from_config(config.mesh.remat),
+           "--lora-rank", str(config.model.lora.r)]
+    q = config.model.quantize  # bool defaults bypass the coercing validator
+    if getattr(q, "enabled", q):
+        cmd += ["--quant", q.dtype]
+    raise SystemExit(subprocess.run(cmd).returncode)
 
 
 def main(argv=None):
@@ -70,6 +128,8 @@ def main(argv=None):
     from qflux_tpu.utils.instantiate import instantiate_class
 
     config = load_config_from_yaml(args.config)
+    if args.plan:
+        _run_plan(config, args)
     if args.resume:
         config.resume = args.resume
     if args.cache:
