@@ -47,12 +47,34 @@ def sdpa_reference(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None):
     return out.astype(q.dtype)
 
 
+def _planning_stub(q, k, v, segment_ids):
+    """Memory-planning stand-in for the Pallas flash kernel (NOT numerically
+    attention): O(S) working set and the kernel's saved-residual profile —
+    q/k/v live for backward, an [B,S,H,D] output tagged `flash_out` — so AOT
+    memory analysis (parallel/planner.py) sees flash-kernel memory instead
+    of XLA attention's [B,H,S,S] logits (which the real TPU path never
+    materializes)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bqhd,bqhd->bqh", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if segment_ids is not None:
+        s = jnp.where((segment_ids != 0)[:, :, None], s, 0.0)
+    out = v * jax.nn.sigmoid(s)[..., None].astype(v.dtype)
+    lse = checkpoint_name(s, "flash_lse")
+    out = out + 0.0 * lse[..., None].astype(out.dtype)  # keep lse saved
+    return checkpoint_name(out, "flash_out")
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def _dispatch(q, k, v, segment_ids, impl):
     if impl == "pallas":
         from qflux_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, segment_ids=segment_ids)
+    if impl == "stub":
+        return _planning_stub(q, k, v, segment_ids)
     return sdpa_reference(q, k, v, segment_ids=segment_ids)
 
 

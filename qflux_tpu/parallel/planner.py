@@ -98,7 +98,7 @@ def plan(model: str = "flux", width: str = "bench", *,
         from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
 
         cfg = _widthed(mt.FluxConfig, width)
-        adapter = FluxKontextAdapter(cfg, attn_impl="xla", remat=True,
+        adapter = FluxKontextAdapter(cfg, attn_impl="stub", remat=True,
                                      remat_policy=remat_policy)
         predict = adapter.predict_velocity
 
@@ -118,7 +118,7 @@ def plan(model: str = "flux", width: str = "bench", *,
         def predict(p, b, noisy, sigma):
             latents = jnp.concatenate([noisy, b["control_latents"]], axis=1)
             out = mt.forward(p, cfg, latents, b["prompt_embeds"], sigma,
-                             frames, rope=b["rope_tables"], attn_impl="xla",
+                             frames, rope=b["rope_tables"], attn_impl="stub",
                              remat=True, remat_policy=remat_policy)
             return out[:, :s_img, : cfg.in_channels]
 
