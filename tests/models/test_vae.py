@@ -40,8 +40,8 @@ def test_encode_decode_shapes(tiny_vae):
 # ---------------------------------------------------------------------------
 # torch oracle for the layout-sensitive pieces
 
-def _t(x):  # NHWC → NCHW torch tensor
-    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous()
+def _t(x):  # NHWC → NCHW torch tensor (copy: jax arrays are non-writable)
+    return torch.from_numpy(np.array(x)).permute(0, 3, 1, 2).contiguous()
 
 
 def _n(x):  # NCHW torch → NHWC numpy
