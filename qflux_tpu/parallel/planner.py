@@ -73,7 +73,8 @@ def _batch_sharded(shapes: Any, mesh, batch_size: int) -> Any:
 
 def plan(model: str = "flux", width: str = "bench", *,
          mesh_axes: dict[str, int] | None = None,
-         batch_size: int | None = None, grid: int = 32, txt_len: int = 512,
+         batch_size: int | None = None, grid: int | tuple[int, int] = 32,
+         txt_len: int = 512,
          quant_dtype: str | None = None, group_size: int = 128,
          remat_policy: str = "flash", lora_rank: int = 16,
          weight_dtype=jnp.bfloat16) -> dict:
@@ -92,6 +93,7 @@ def plan(model: str = "flux", width: str = "bench", *,
     mesh = build_mesh(MeshConfig(**(mesh_axes or {"fsdp": -1})))
     if batch_size is None:
         batch_size = mesh.shape["dp"] * mesh.shape["fsdp"]
+    grid_h, grid_w = (grid, grid) if isinstance(grid, int) else grid
 
     if model == "flux":
         from qflux_tpu.models.flux import transformer as mt
@@ -104,16 +106,16 @@ def plan(model: str = "flux", width: str = "bench", *,
 
         def batch_shapes():
             from __graft_entry__ import _flux_inputs
-            return _flux_inputs(cfg, batch=batch_size, grid_h=grid,
-                                grid_w=grid, txt_len=txt_len,
+            return _flux_inputs(cfg, batch=batch_size, grid_h=grid_h,
+                                grid_w=grid_w, txt_len=txt_len,
                                 dtype=weight_dtype)
     elif model == "qwen":
         from qflux_tpu.models.qwen import transformer as mt
         from qflux_tpu.ops.rope import qwen_rope
 
         cfg = _widthed(mt.QwenImageConfig, width)
-        s_img = grid * grid
-        frames = [(1, grid, grid), (1, grid, grid)]
+        s_img = grid_h * grid_w
+        frames = [(1, grid_h, grid_w), (1, grid_h, grid_w)]
 
         def predict(p, b, noisy, sigma):
             latents = jnp.concatenate([noisy, b["control_latents"]], axis=1)
@@ -205,7 +207,8 @@ def plan(model: str = "flux", width: str = "bench", *,
                   if jax.default_backend() == "cpu" else 0)
     return {
         "model": model, "width": width, "mesh": dict(mesh.shape),
-        "batch_size": batch_size, "grid": grid, "txt_len": txt_len,
+        "batch_size": batch_size, "grid": [grid_h, grid_w],
+        "txt_len": txt_len,
         "quant": quant_dtype or "bf16", "remat_policy": remat_policy,
         "per_device_mb": {
             "arguments": round(ma.argument_size_in_bytes / mb, 1),

@@ -45,6 +45,8 @@ def main(argv=None) -> None:
                     metavar="SPEC", help="e.g. dp2,fsdp2,tp2")
     ap.add_argument("--grid", type=int, default=32,
                     help="packed latent grid per image (32 = 512d input)")
+    ap.add_argument("--grid-w", type=int, default=None,
+                    help="grid width when non-square (e.g. 832x576 = 52 36)")
     ap.add_argument("--txt-len", type=int, default=512)
     ap.add_argument("--batch-size", type=int, default=None,
                     help="global batch (default: one per data-parallel slice)")
@@ -77,8 +79,9 @@ def main(argv=None) -> None:
 
     rows = []
     for spec in args.meshes:
+        grid = (args.grid, args.grid_w) if args.grid_w else args.grid
         r = plan(args.model, args.width, mesh_axes=parse_mesh(spec),
-                 batch_size=args.batch_size, grid=args.grid,
+                 batch_size=args.batch_size, grid=grid,
                  txt_len=args.txt_len, quant_dtype=args.quant,
                  remat_policy=args.remat, lora_rank=args.lora_rank)
         rows.append(r)
@@ -89,7 +92,8 @@ def main(argv=None) -> None:
         hdr = (f"{'mesh':<20} {'args MB':>9} {'temp MB':>9} {'resident MB':>12} "
                f"{'fits v5e':>8}  collectives (ar/ag/rs/cp)")
         print(f"\n{args.model} {args.width} {args.quant or 'bf16'} "
-              f"remat={args.remat} grid={args.grid} txt={args.txt_len}")
+              f"remat={args.remat} grid={args.grid}x{args.grid_w or args.grid} "
+              f"txt={args.txt_len}")
         print(hdr)
         print("-" * len(hdr))
         for r in rows:
