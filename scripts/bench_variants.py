@@ -123,7 +123,88 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
           f"(compile {compile_s:.0f}s)", flush=True)
 
 
-def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
+def run_qwen_inference(quant: str = "requant", num_steps: int = 20,
+                       true_cfg: bool = True, n_imgs: int = 3):
+    """FULL 20B Qwen-Image-Edit DiT 512² inference: jitted Euler loop at the
+    reference's quality-claim settings (20 steps, true CFG → cond+uncond
+    forward per step, reference README.md:467-469,
+    qwen_image_edit_trainer.py:1005). DiT-only (text encode + VAE decode are
+    one-time costs outside the denoise loop)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.qwen import transformer as qwen
+    from qflux_tpu.ops.rope import qwen_rope
+    from qflux_tpu.scheduler.flow_match import FlowMatchScheduler
+
+    cfg = qwen.QwenImageConfig()
+    params = _synthetic_int4_params(cfg, qwen.init)
+    if quant in ("w4a8", "requant"):
+        new_key = {"w4a8": "kernel_q4_dyn", "requant": "kernel_q4_rq"}[quant]
+
+        def rename(node):
+            if isinstance(node, dict):
+                if "kernel_q4" in node:
+                    out = dict(node)
+                    out[new_key] = out.pop("kernel_q4")
+                    return out
+                return {k: rename(v) for k, v in node.items()}
+            return node
+        params = rename(params)
+
+    gh = gw = 32
+    s_img, txt_len = gh * gw, 256
+    img_shapes = [(1, gh, gw), (1, gh, gw)]
+    rope = tuple(jnp.asarray(r) for r in qwen_rope(
+        img_shapes, txt_len, cfg.axes_dims_rope, scale_rope=cfg.scale_rope))
+    # true CFG runs cond+uncond as a batch of 2 through one forward
+    eff_bs = 2 if true_cfg else 1
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    control = jax.random.normal(ks[0], (eff_bs, s_img, cfg.in_channels), jnp.bfloat16)
+    prompt = jax.random.normal(ks[1], (eff_bs, txt_len, cfg.joint_attention_dim),
+                               jnp.bfloat16)
+    x0 = jax.random.normal(ks[2], (1, s_img, cfg.in_channels), jnp.bfloat16)
+
+    plan = FlowMatchScheduler().sampling_plan(num_steps, image_seq_len=s_img)
+    sigmas = jnp.asarray(plan.sigmas, jnp.float32)
+
+    @jax.jit
+    def sample(params, x0, control, prompt):
+        def body(x, i):
+            sig = jnp.full((eff_bs,), sigmas[i], jnp.bfloat16)
+            xin = jnp.broadcast_to(x, (eff_bs,) + x.shape[1:])
+            latents = jnp.concatenate([xin, control], axis=1)
+            v = qwen.forward(params, cfg, latents, prompt, sig, img_shapes,
+                             rope=rope, attn_impl="pallas", remat=False)
+            v = v[:, :s_img, : cfg.in_channels]
+            if true_cfg:
+                v = v[1:] + 4.0 * (v[:1] - v[1:])   # cond + scale·(cond−uncond)
+            dt = sigmas[i + 1] - sigmas[i]
+            return (x.astype(jnp.float32) + dt * v.astype(jnp.float32)
+                    ).astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+        return x
+
+    t_c = time.perf_counter()
+    out = sample(params, x0, control, prompt)
+    _ = float(jnp.sum(out))
+    compile_s = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    for _ in range(n_imgs):
+        out = sample(params, x0, control, prompt)
+    _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / n_imgs
+    print(f"qwen 20B inference {quant} steps={num_steps} "
+          f"true_cfg={true_cfg}: {dt:.2f} s/img "
+          f"({dt / num_steps * 1e3:.0f} ms/denoise step, compile {compile_s:.0f}s)",
+          flush=True)
+
+
+def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
+                gh: int = 32, gw: int = 32):
     import jax
     import jax.numpy as jnp
     import optax
@@ -163,7 +244,7 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
     opt = optax.adamw(1e-4)
     step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
     state = TrainState.create(lora, opt)
-    batch = _flux_inputs(cfg, batch=bs, grid_h=32, grid_w=32, txt_len=512,
+    batch = _flux_inputs(cfg, batch=bs, grid_h=gh, grid_w=gw, txt_len=512,
                          dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
@@ -181,7 +262,8 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
         state, m = step(state, params, batch, rng)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n_iters
-    print(f"variant policy={policy:8s} bs={bs} attn={attn:6s} layers={layers}: "
+    print(f"variant policy={policy:8s} bs={bs} attn={attn:6s} layers={layers} "
+          f"grid={gh}x{gw}: "
           f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  (compile {compile_s:.0f}s)",
           flush=True)
 
@@ -189,10 +271,16 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8):
 if __name__ == "__main__":
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     policies = [a for a in sys.argv[1:] if "=" not in a] or ["full", "flash"]
+    if kv.get("mode") == "qwen_inference":
+        run_qwen_inference(kv.get("quant", "requant"),
+                           int(kv.get("steps", 20)),
+                           kv.get("cfg", "1") != "0")
+        sys.exit(0)
     for pol in policies:
         if kv.get("model") == "qwen":
             run_qwen_variant(pol, int(kv.get("bs", 1)), kv.get("quant", "int4"),
                              int(kv.get("iters", 6)))
         else:
             run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
-                        kv.get("layers", "full"), int(kv.get("iters", 8)))
+                        kv.get("layers", "full"), int(kv.get("iters", 8)),
+                        int(kv.get("gh", 32)), int(kv.get("gw", 32)))
