@@ -178,6 +178,11 @@ def main():
                 run_qwen_variant("flash", 1, "requant", n_iters=6)
             m_q = _re.search(r"(\d+\.\d+) img/s", buf.getvalue())
             qwen_fps = float(m_q.group(1)) if m_q else None
+            if qwen_fps is None:
+                # run_qwen_variant prints its own FAILED line instead of
+                # raising — surface it or the null is undiagnosable
+                print(f"qwen20b bench produced no number: {buf.getvalue()!r}",
+                      file=sys.stderr)
         except Exception as e:
             print(f"qwen20b bench skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)

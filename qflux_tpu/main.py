@@ -47,7 +47,12 @@ def _run_plan(config, args) -> None:
     import subprocess
 
     trainer_name = str(config.trainer).lower()
-    model = "qwen" if ("qwen" in trainer_name or "dreamomni" in trainer_name) else "flux"
+    if "qwen" in trainer_name or "dreamomni" in trainer_name:
+        model = "qwen"
+    elif "flux2" in trainer_name:
+        model = "flux2"   # klein-4B topology (trainer/flux2_klein.py)
+    else:
+        model = "flux"
     width = "tiny" if getattr(config.model, "variant", "") == "test" else "full"
 
     m = config.mesh
@@ -63,12 +68,12 @@ def _run_plan(config, args) -> None:
         sizes = MeshConfig(dp=m.dp, fsdp=m.fsdp, tp=m.tp, sp=m.sp).resolve(n)
     spec = ",".join(f"{k}{v}" for k, v in sizes.items() if v > 1) or "fsdp1"
 
-    # packed 2×2 latent grid: H/16 (e.g. 512² → 32); multi-res uses the
-    # largest candidate
-    grid = 32
+    # packed 2×2 latent grid: H/16 × W/16 (e.g. 512² → 32×32, 832×576 → 52×36)
+    grid_h = grid_w = 32
     ts = config.data.processor.target_size
     if ts:
-        grid = max(2, int(max(ts) // 16))
+        grid_h = max(2, int(ts[0] // 16))
+        grid_w = max(2, int(ts[1] // 16)) if len(ts) > 1 else grid_h
 
     from qflux_tpu.trainer.flux_kontext import remat_policy_from_config
 
@@ -81,11 +86,15 @@ def _run_plan(config, args) -> None:
         print(f"--plan: batch {config.data.batch_size} -> {bs} "
               f"(must divide dp*fsdp={n_data})")
 
+    # remat "none" must plan WITHOUT remat (activation residency is far
+    # larger) — a flash-remat estimate would pass configs that OOM for real
+    remat = ("none" if config.mesh.remat == "none"
+             else remat_policy_from_config(config.mesh.remat))
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), os.pardir,
                                         "scripts", "mesh_report.py"),
            "--model", model, "--width", width, "--meshes", spec,
-           "--grid", str(grid), "--batch-size", str(bs),
-           "--remat", remat_policy_from_config(config.mesh.remat),
+           "--grid", str(grid_h), "--grid-w", str(grid_w),
+           "--batch-size", str(bs), "--remat", remat,
            "--lora-rank", str(config.model.lora.r)]
     q = config.model.quantize  # bool defaults bypass the coercing validator
     if getattr(q, "enabled", q):

@@ -90,25 +90,42 @@ def plan(model: str = "flux", width: str = "bench", *,
     from qflux_tpu.trainer.train_step import (TrainState, TrainStepConfig,
                                               make_train_step)
 
-    mesh = build_mesh(MeshConfig(**(mesh_axes or {"fsdp": -1})))
+    axes = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
+    axes.update(mesh_axes or {"fsdp": -1})
+    if axes["sp"] > 1:
+        raise ValueError(
+            "sp>1 planning is not modeled yet: the stub attention does not "
+            "split the sequence over the sp axis, so memory/collective "
+            "numbers would be wrong — plan with sp=1 and expect ring "
+            "attention to LOWER activation residency further")
+    mesh = build_mesh(MeshConfig(**axes))
     if batch_size is None:
         batch_size = mesh.shape["dp"] * mesh.shape["fsdp"]
     grid_h, grid_w = (grid, grid) if isinstance(grid, int) else grid
 
-    if model == "flux":
+    do_remat = remat_policy != "none"
+    if model in ("flux", "flux2"):
         from qflux_tpu.models.flux import transformer as mt
         from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+        from qflux_tpu.utils.synthetic import flux_inputs
 
-        cfg = _widthed(mt.FluxConfig, width)
-        adapter = FluxKontextAdapter(cfg, attn_impl="stub", remat=True,
-                                     remat_policy=remat_policy)
+        if model == "flux2":
+            # FLUX.2-Klein topology (trainer/flux2_klein.py klein-4B layout)
+            from qflux_tpu.trainer.flux2_klein import flux2_config
+
+            cfg = flux2_config() if width == "full" else _widthed(
+                mt.FluxConfig, width)
+        else:
+            cfg = _widthed(mt.FluxConfig, width)
+        adapter = FluxKontextAdapter(cfg, attn_impl="stub", remat=do_remat,
+                                     remat_policy=remat_policy
+                                     if do_remat else "flash")
         predict = adapter.predict_velocity
 
         def batch_shapes():
-            from __graft_entry__ import _flux_inputs
-            return _flux_inputs(cfg, batch=batch_size, grid_h=grid_h,
-                                grid_w=grid_w, txt_len=txt_len,
-                                dtype=weight_dtype)
+            return flux_inputs(cfg, batch=batch_size, grid_h=grid_h,
+                               grid_w=grid_w, txt_len=txt_len,
+                               dtype=weight_dtype)
     elif model == "qwen":
         from qflux_tpu.models.qwen import transformer as mt
         from qflux_tpu.ops.rope import qwen_rope
@@ -121,7 +138,8 @@ def plan(model: str = "flux", width: str = "bench", *,
             latents = jnp.concatenate([noisy, b["control_latents"]], axis=1)
             out = mt.forward(p, cfg, latents, b["prompt_embeds"], sigma,
                              frames, rope=b["rope_tables"], attn_impl="stub",
-                             remat=True, remat_policy=remat_policy)
+                             remat=do_remat,
+                             remat_policy=remat_policy if do_remat else "flash")
             return out[:, :s_img, : cfg.in_channels]
 
         def batch_shapes():
@@ -139,7 +157,7 @@ def plan(model: str = "flux", width: str = "bench", *,
                 "rope_tables": tuple(jnp.asarray(r) for r in rope),
             }
     else:
-        raise ValueError(f"model must be flux|qwen, got {model!r}")
+        raise ValueError(f"model must be flux|flux2|qwen, got {model!r}")
 
     def param_shapes():
         p = mt.init(jax.random.PRNGKey(0), cfg, dtype=weight_dtype)

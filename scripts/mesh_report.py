@@ -39,7 +39,7 @@ def parse_mesh(spec: str) -> dict[str, int]:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--model", choices=["flux", "qwen"], default="flux")
+    ap.add_argument("--model", choices=["flux", "flux2", "qwen"], default="flux")
     ap.add_argument("--width", choices=["tiny", "bench", "full"], default="bench")
     ap.add_argument("--meshes", nargs="+", default=["fsdp2", "fsdp4"],
                     metavar="SPEC", help="e.g. dp2,fsdp2,tp2")
@@ -52,9 +52,11 @@ def main(argv=None) -> None:
                     help="global batch (default: one per data-parallel slice)")
     ap.add_argument("--quant", default=None,
                     choices=[None, "int8", "int8_dynamic", "int4",
-                             "int4_requant", "fp8_e4m3", "fp8_e5m2"])
+                             "int4_dynamic", "int4_requant", "fp8_e4m3",
+                             "fp8_e5m2"])
     ap.add_argument("--remat", default="flash",
-                    choices=["dots", "full", "flash", "flash_qkv", "flash_mlp"])
+                    choices=["none", "dots", "full", "flash", "flash_qkv",
+                             "flash_mlp"])
     ap.add_argument("--lora-rank", type=int, default=16)
     ap.add_argument("--json", action="store_true", help="one JSON line per mesh")
     args = ap.parse_args(argv)
