@@ -27,8 +27,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# block-size auto-tune targets (measured sweep on v5e, S=2.3-4.4k, D=128,
+# docs/PERF.md round-2: one full-width K pass per q block beats square
+# 256x256 tiling 2.3-3.7x — fewer grid invocations, K/V streamed once):
+#   block_q: 256 rows (no benefit beyond 512, and 256 minimizes padding)
+#   block_k: the whole padded sequence, capped so the [bq, bk] f32 logits
+#            tile stays ~4 MB of VMEM; above the cap, the fewest equal
+#            chunks that respect it
+BLOCK_Q_TARGET = 256
+BLOCK_K_CAP = 4096
+
+
+def _auto_block(s: int, target: int) -> int:
+    """Smallest number of equal ≤target chunks covering s, rounded up to the
+    128-lane tile — minimizes both grid steps and padding waste."""
+    n = -(-s // target)
+    per = -(-s // n)
+    return min((per + 127) // 128 * 128, (s + 127) // 128 * 128)
 
 
 def _interpret() -> bool:
@@ -271,11 +286,13 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None,
-                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K):
+                    block_q: int | None = None, block_k: int | None = None):
     """Flash attention over [B, S, H, D] inputs with segment-id masking.
 
     Pads S up to the block size (padding gets segment 0 ⇒ fully masked) and
-    transposes to the kernel's [B, H, S, D] layout.
+    transposes to the kernel's [B, H, S, D] layout.  Block sizes default to
+    the measured auto-tune rule (see BLOCK_Q_TARGET/BLOCK_K_CAP above);
+    explicit values override it.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -283,8 +300,10 @@ def flash_attention(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None,
     if segment_ids is None:
         segment_ids = jnp.ones((b, sq), jnp.int32)
     kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
-    block_q = min(block_q, max(sq, 128))
-    block_k = min(block_k, max(sk, 128))
+    block_q = (_auto_block(sq, BLOCK_Q_TARGET) if block_q is None
+               else min(block_q, max(sq, 128)))
+    block_k = (_auto_block(sk, BLOCK_K_CAP) if block_k is None
+               else min(block_k, max(sk, 128)))
 
     pq, pk = _pad_len(sq, block_q), _pad_len(sk, block_k)
     qt = checkpoint_name(

@@ -203,6 +203,58 @@ def run_qwen_inference(quant: str = "requant", num_steps: int = 20,
           flush=True)
 
 
+def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
+                       n_imgs: int = 3):
+    """Full 19+38 FLUX 512² inference: jitted Euler loop, single forward per
+    step (FLUX-Kontext uses embedded guidance, not true CFG)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.flux import transformer as flux
+    from qflux_tpu.scheduler.flow_match import FlowMatchScheduler
+    from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+    from qflux_tpu.utils.synthetic import flux_inputs
+    from bench import _synthetic_int8_params, _w8a8_params
+
+    cfg = flux.FluxConfig()
+    params = _synthetic_int8_params(cfg)
+    if quant == "int8dyn":
+        params = _w8a8_params(params)
+    adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=False)
+    batch = flux_inputs(cfg, batch=1, grid_h=32, grid_w=32, txt_len=512,
+                        dtype=jnp.bfloat16)
+    s_img = 32 * 32
+    plan = FlowMatchScheduler().sampling_plan(num_steps, image_seq_len=s_img)
+    sigmas = jnp.asarray(plan.sigmas, jnp.float32)
+
+    @jax.jit
+    def sample(params, batch):
+        def body(x, i):
+            sig = jnp.full((1,), sigmas[i], jnp.bfloat16)
+            v = adapter.predict_velocity(params, batch, x, sig)
+            dt = sigmas[i + 1] - sigmas[i]
+            return (x.astype(jnp.float32) + dt * v.astype(jnp.float32)
+                    ).astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, batch["image_latents"], jnp.arange(num_steps))
+        return x
+
+    t_c = time.perf_counter()
+    out = sample(params, batch)
+    _ = float(jnp.sum(out))
+    compile_s = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    for _ in range(n_imgs):
+        out = sample(params, batch)
+    _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / n_imgs
+    print(f"flux inference {quant} steps={num_steps}: {dt:.2f} s/img "
+          f"({dt / num_steps * 1e3:.0f} ms/denoise fwd, compile {compile_s:.0f}s)",
+          flush=True)
+
+
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
                 gh: int = 32, gw: int = 32):
     import jax
@@ -275,6 +327,9 @@ if __name__ == "__main__":
         run_qwen_inference(kv.get("quant", "requant"),
                            int(kv.get("steps", 20)),
                            kv.get("cfg", "1") != "0")
+        sys.exit(0)
+    if kv.get("mode") == "flux_inference":
+        run_flux_inference(kv.get("quant", "int8dyn"), int(kv.get("steps", 20)))
         sys.exit(0)
     for pol in policies:
         if kv.get("model") == "qwen":
