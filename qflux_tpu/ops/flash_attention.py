@@ -65,17 +65,29 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, num_kv):
     j = pl.program_id(3)
 
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
     q = q_ref[0, 0]  # [bq, D]
     k = k_ref[0, 0]  # [bk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + _mask(qseg_ref[0, 0], kseg_ref[0, 0])
+
+    if num_kv == 1:
+        # single K pass (the auto-tuned common case): plain softmax, no
+        # online-rescale scratch round trips
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)
+        acc = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+                          preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc * (1.0 / l)[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = m + jnp.log(l)
+        return
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     m_prev = m_scr[:, 0]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
