@@ -297,6 +297,44 @@ def _flash_bwd(scale, block_q, block_k, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_fwd_with_lse(q, k, v, q_seg, kv_seg, scale):
+    """Padded single forward returning (out [B,S,H,D], lse [B,H,Sq]) — the
+    building block for callers that merge partial results themselves (ring
+    attention hops). No custom VJP; pair with `flash_bwd_from_residuals`."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq = _auto_block(sq, BLOCK_Q_TARGET)
+    bk = _auto_block(sk, BLOCK_K_CAP)
+    pq, pk = _pad_len(sq, bq), _pad_len(sk, bk)
+    t = lambda x, p: jnp.pad(x, ((0, 0), (0, p), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
+    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
+    out, lse = _fwd(t(q, pq), t(k, pk), t(v, pk), qs, ks, scale, bq, bk)
+    return out.transpose(0, 2, 1, 3)[:, :sq], lse[:, :, 0, :sq]
+
+
+def flash_bwd_from_residuals(q, k, v, q_seg, kv_seg, out, lse, do, scale):
+    """Padded dq/dkv kernels against a caller-supplied (global) out/lse —
+    shapes as in `flash_fwd_with_lse`. Returns (dq, dk, dv) in [B,S,H,D]."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq = _auto_block(sq, BLOCK_Q_TARGET)
+    bk = _auto_block(sk, BLOCK_K_CAP)
+    pq, pk = _pad_len(sq, bq), _pad_len(sk, bk)
+    t = lambda x, p: jnp.pad(x, ((0, 0), (0, p), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
+    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
+    # pad lse with NEG_INF so padded q rows produce p = exp(-inf - -inf)…
+    # they are masked anyway (segment 0) and sliced off below
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, pq)),
+                    constant_values=0.0)[:, :, None, :]
+    dq, dk, dv = _bwd(t(q, pq), t(k, pk), t(v, pk), qs, ks, t(out, pq),
+                      lse_p, t(do, pq), scale, bq, bk)
+    return (dq.transpose(0, 2, 1, 3)[:, :sq],
+            dk.transpose(0, 2, 1, 3)[:, :sk],
+            dv.transpose(0, 2, 1, 3)[:, :sk])
+
+
 def flash_attention(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None,
                     block_q: int | None = None, block_k: int | None = None):
     """Flash attention over [B, S, H, D] inputs with segment-id masking.

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _use_kernel() -> bool:
+    # the Pallas hop path needs real Mosaic lowering; the einsum path serves
+    # CPU tests (interpret-mode kernels inside a ppermute scan are very slow)
+    return jax.default_backend() == "tpu"
+
+
 def _hop_scores(q, k_cur, q_seg, kv_seg, scale):
     """[B,S,H,D]×[B,K,H,D] → masked logits [B,H,Q,K] (f32)."""
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cur,
@@ -45,10 +51,44 @@ def _hop_scores(q, k_cur, q_seg, kv_seg, scale):
     return s
 
 
+def _hop_flash_fwd(q, k_cur, v_cur, q_seg, kv_seg, scale):
+    """One hop through the Pallas flash kernel: O(block_q · S_hop) memory
+    instead of the einsum path's [B,H,Q,K] logits. Returns (out [B,S,H,D]
+    f32, lse [B,H,S] f32), normalized within the hop (merged across hops by
+    log-sum-exp in the caller)."""
+    from qflux_tpu.ops.flash_attention import flash_fwd_with_lse
+
+    out, lse = flash_fwd_with_lse(q, k_cur, v_cur, q_seg, kv_seg, scale)
+    return out.astype(jnp.float32), lse
+
+
 def _ring_fwd(q, k, v, q_seg, axis_name, scale):
     """Online-softmax over ring hops; returns (out [B,S,H,D], lse [B,H,S])."""
     b, s_loc, h, d = q.shape
     n = jax.lax.psum(1, axis_name)
+
+    if _use_kernel():
+        # merge per-hop flash results by log-sum-exp: out/lse carry only —
+        # no [B,H,Q,K] block ever materializes
+        lse0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
+        acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+
+        def hop(carry, _):
+            lse_acc, acc, k_cur, v_cur, seg_cur = carry
+            o_hop, lse_hop = _hop_flash_fwd(q, k_cur, v_cur, q_seg, seg_cur, scale)
+            lse_new = jnp.logaddexp(lse_acc, lse_hop)
+            w_old = jnp.exp(lse_acc - lse_new).transpose(0, 2, 1)[..., None]
+            w_hop = jnp.exp(lse_hop - lse_new).transpose(0, 2, 1)[..., None]
+            acc = acc * w_old + o_hop * w_hop
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            return (lse_new, acc,
+                    jax.lax.ppermute(k_cur, axis_name, perm),
+                    jax.lax.ppermute(v_cur, axis_name, perm),
+                    jax.lax.ppermute(seg_cur, axis_name, perm)), None
+
+        (lse, acc, _, _, _), _ = jax.lax.scan(
+            hop, (lse0, acc0, k, v, q_seg), None, length=n)
+        return acc.astype(q.dtype), lse
 
     m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
@@ -89,9 +129,40 @@ def _ring_vjp_fwd(q, k, v, q_seg, axis_name, scale):
     return out, (q, k, v, q_seg, out, lse)
 
 
+def _hop_flash_bwd(q, k_cur, v_cur, q_seg, seg_cur, out, lse, do, scale):
+    """One backward hop through the Pallas dq/dkv kernels; p is recomputed
+    against the GLOBAL lse so each hop contributes its exact share."""
+    from qflux_tpu.ops.flash_attention import flash_bwd_from_residuals
+
+    return flash_bwd_from_residuals(q, k_cur, v_cur, q_seg, seg_cur, out,
+                                    lse, do, scale)
+
+
 def _ring_vjp_bwd(axis_name, scale, res, do):
     q, k, v, q_seg, out, lse = res
     n = jax.lax.psum(1, axis_name)
+
+    if _use_kernel():
+        def hop(carry, _):
+            k_cur, v_cur, seg_cur, dk_cur, dv_cur, dq = carry
+            dq_h, dk_h, dv_h = _hop_flash_bwd(q, k_cur, v_cur, q_seg, seg_cur,
+                                              out, lse, do, scale)
+            dq = dq + dq_h.astype(jnp.float32)
+            dk_cur = dk_cur + dk_h.astype(jnp.float32)
+            dv_cur = dv_cur + dv_h.astype(jnp.float32)
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            return (jax.lax.ppermute(k_cur, axis_name, perm),
+                    jax.lax.ppermute(v_cur, axis_name, perm),
+                    jax.lax.ppermute(seg_cur, axis_name, perm),
+                    jax.lax.ppermute(dk_cur, axis_name, perm),
+                    jax.lax.ppermute(dv_cur, axis_name, perm), dq), None
+
+        (_, _, _, dk, dv, dq), _ = jax.lax.scan(
+            hop, (k, v, q_seg, jnp.zeros(k.shape, jnp.float32),
+                  jnp.zeros(v.shape, jnp.float32),
+                  jnp.zeros(q.shape, jnp.float32)), None, length=n)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None)
     # delta_i = Σ_d do·out per q row, [B,H,Q]
     delta = jnp.einsum("bqhd,bqhd->bhq", do.astype(jnp.float32),
                        out.astype(jnp.float32))

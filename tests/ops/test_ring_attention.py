@@ -127,3 +127,36 @@ def test_train_step_sp2_matches_sp1():
     for a, b in zip(jax.tree.leaves(results["sp1"][1]),
                     jax.tree.leaves(results["sp2"][1])):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+
+def test_ring_kernel_hop_path_matches_sdpa(sp_mesh, monkeypatch):
+    """The Pallas-kernel hop path (TPU default; interpret mode here) must
+    match SDPA for values AND the custom-VJP gradients, with segments."""
+    import qflux_tpu.ops.ring_attention as ra
+
+    monkeypatch.setattr(ra, "_use_kernel", lambda: True)
+    q, k, v = _qkv(jax.random.PRNGKey(3), 1, 128, 2, 128)
+    seg = np.ones((1, 128), np.int32)
+    seg[0, 112:] = 0
+    seg[0, :24] = 2
+    seg = jnp.asarray(seg)
+
+    out = ring_attention_sharded(q, k, v, sp_mesh, "sp", segment_ids=seg)
+    ref = sdpa_reference(q, k, v, segment_ids=seg)
+    valid = np.asarray(seg)[0] != 0
+    np.testing.assert_allclose(np.asarray(out)[0, valid],
+                               np.asarray(ref)[0, valid], atol=5e-5)
+
+    def loss_ring(q, k, v):
+        o = ring_attention_sharded(q, k, v, sp_mesh, "sp", segment_ids=seg)
+        return jnp.sum(jnp.where(seg[..., None, None] != 0, o, 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+        o = sdpa_reference(q, k, v, segment_ids=seg)
+        return jnp.sum(jnp.where(seg[..., None, None] != 0, o, 0.0) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=1e-4, rtol=1e-4)
