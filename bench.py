@@ -193,8 +193,8 @@ def main():
     fps = batch_size / dt
     fps_wo = batch_size / dt_wo
     # train FLOPs ≈ 3× fwd (dx chains + remat recompute). The headline path
-    # runs its GEMMs on the int8 MXU (394 TOPS on v5e), so utilization is
-    # quoted against that peak; weight-only (bf16 GEMMs) against 197 TFLOPs.
+    # runs its GEMMs on the int8 MXU, so utilization is quoted against the
+    # 394-TOPS v5e int8 peak (hence the metric name).
     train_flops = 3.0 * cfg.matmul_flops(2 * grid * grid, txt_len) * batch_size
     mfu = train_flops / dt / 394e12 if on_tpu else float("nan")
 

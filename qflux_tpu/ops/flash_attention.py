@@ -36,6 +36,22 @@ NEG_INF = -1e30
 #            chunks that respect it
 BLOCK_Q_TARGET = 256
 BLOCK_K_CAP = 4096
+# the dq/dkv kernels hold more live tiles per step (s_t, p_t, dp_t plus the
+# dk/dv accumulators); Mosaic fails to compile them at block_k=4096 on v5e
+# while 3968 works (probed boundary) — the BACKWARD re-chunks K under this cap
+BLOCK_K_CAP_BWD = 3968
+
+
+def _bwd_block_k(sk: int) -> int:
+    """Largest 128-multiple chunk ≤ BLOCK_K_CAP_BWD that divides sk (sk is
+    already padded to a multiple of 128 by the forward)."""
+    if sk <= BLOCK_K_CAP_BWD:
+        return sk
+    units = sk // 128
+    for n in range(2, units + 1):
+        if units % n == 0 and (units // n) * 128 <= BLOCK_K_CAP_BWD:
+            return (units // n) * 128
+    return 128
 
 
 def _auto_block(s: int, target: int) -> int:
@@ -290,7 +306,11 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
 
 def _flash_bwd(scale, block_q, block_k, res, do):
     q, k, v, q_seg, kv_seg, out, lse = res
-    dq, dk, dv = _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, block_k)
+    # the backward kernels cannot run the forward's full-width K chunk past
+    # BLOCK_K_CAP_BWD — re-chunk only when over the cap (any divisor of the
+    # padded S is valid; explicit smaller blocks are preserved)
+    bk = block_k if block_k <= BLOCK_K_CAP_BWD else _bwd_block_k(k.shape[2])
+    dq, dk, dv = _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, bk)
     return dq, dk, dv, None, None
 
 
@@ -319,13 +339,15 @@ def flash_bwd_from_residuals(q, k, v, q_seg, kv_seg, out, lse, do, scale):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bq = _auto_block(sq, BLOCK_Q_TARGET)
-    bk = _auto_block(sk, BLOCK_K_CAP)
+    bk = _auto_block(sk, min(BLOCK_K_CAP, BLOCK_K_CAP_BWD))
     pq, pk = _pad_len(sq, bq), _pad_len(sk, bk)
     t = lambda x, p: jnp.pad(x, ((0, 0), (0, p), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     qs = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
     ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
-    # pad lse with NEG_INF so padded q rows produce p = exp(-inf - -inf)…
-    # they are masked anyway (segment 0) and sliced off below
+    # lse pads with 0.0 ON PURPOSE: padded q rows have every score masked to
+    # NEG_INF (segment 0), so p = exp(NEG_INF - 0) = 0 — padding contributes
+    # nothing. Padding with NEG_INF instead would make p = exp(0) = 1 across
+    # the padded block.
     lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, pq)),
                     constant_values=0.0)[:, :, None, :]
     dq, dk, dv = _bwd(t(q, pq), t(k, pk), t(v, pk), qs, ks, t(out, pq),

@@ -72,3 +72,16 @@ def test_flash_bf16_close():
     out = flash_attention(q, k, v, block_q=128, block_k=128)
     ref = sdpa_reference(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=2e-2)
+
+
+def test_bwd_block_k_divides_and_respects_cap():
+    """The backward re-chunking rule must always produce a 128-multiple that
+    divides the padded sequence and stays under the Mosaic compile boundary
+    (bk=4096 fails on v5e; 3968 verified working)."""
+    from qflux_tpu.ops.flash_attention import BLOCK_K_CAP_BWD, _bwd_block_k
+
+    for sk in (128, 2560, 3968, 4096, 4352, 8704, 128 * 31, 128 * 62):
+        bk = _bwd_block_k(sk)
+        assert sk % bk == 0 and bk % 128 == 0, (sk, bk)
+        if sk > BLOCK_K_CAP_BWD:
+            assert bk <= BLOCK_K_CAP_BWD, (sk, bk)
