@@ -103,20 +103,71 @@ uint64_t xxh64(const uint8_t* data, uint64_t len, uint64_t seed) {
   return h;
 }
 
-// streaming whole-file hash; returns 0 on IO error (caller falls back)
+// streaming whole-file hash; returns 0 on IO error (caller falls back).
+// TRUE incremental XXH64: the 4-lane stripe state and the <32-byte tail are
+// carried across chunks, so the digest equals xxh64(whole_file) bit-exactly
+// (and therefore matches the pure-python fallback) regardless of chunk size.
 uint64_t xxh64_file(const char* path, uint64_t seed) {
   FILE* f = fopen(path, "rb");
   if (!f) return 0;
-  // hash chunk digests chained — single pass, bounded memory
   const size_t CHUNK = 1 << 22;
-  std::vector<uint8_t> buf(CHUNK);
-  uint64_t h = seed ^ P5;
+  std::vector<uint8_t> buf(CHUNK + 32);
+  uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+  uint64_t total = 0;
+  bool striped = false;
+  size_t carry = 0;  // <32-byte tail carried in buf[0:carry]
   size_t n;
-  while ((n = fread(buf.data(), 1, CHUNK, f)) > 0) {
-    h = xxh64(buf.data(), n, h);
+  while ((n = fread(buf.data() + carry, 1, CHUNK, f)) > 0) {
+    total += n;
+    size_t avail = carry + n;
+    const uint8_t* p = buf.data();
+    size_t usable = avail - (avail % 32);
+    const uint8_t* end32 = buf.data() + usable;
+    while (p < end32) {
+      v1 = round_(v1, read64(p)); p += 8;
+      v2 = round_(v2, read64(p)); p += 8;
+      v3 = round_(v3, read64(p)); p += 8;
+      v4 = round_(v4, read64(p)); p += 8;
+      striped = true;
+    }
+    carry = avail - usable;
+    if (carry) memmove(buf.data(), end32, carry);
   }
   fclose(f);
-  return h ? h : 1;  // avoid the 0 sentinel
+  uint64_t h;
+  if (striped) {
+    h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+    h = merge_round(h, v1);
+    h = merge_round(h, v2);
+    h = merge_round(h, v3);
+    h = merge_round(h, v4);
+  } else {
+    h = seed + P5;
+  }
+  h += total;
+  const uint8_t* p = buf.data();
+  const uint8_t* end = buf.data() + carry;
+  while (p + 8 <= end) {
+    h ^= round_(0, read64(p));
+    h = rotl(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (uint64_t)read32(p) * P1;
+    h = rotl(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p) * P5;
+    h = rotl(h, 11) * P1;
+    p++;
+  }
+  h ^= h >> 33;
+  h *= P2;
+  h ^= h >> 29;
+  h *= P3;
+  h ^= h >> 32;
+  return h ? h : 1;  // avoid the 0 IO-error sentinel
 }
 
 // ---------------------------------------------------------------------------

@@ -222,9 +222,16 @@ def ring_attention_sharded(q, k, v, mesh, axis_name: str,
     """Convenience wrapper: takes GLOBAL [B, S, H, D] arrays and runs the ring
     under shard_map with S split over `axis_name` (and batch over
     `batch_axes`, so dp/fsdp sharding is preserved inside the ring)."""
+    import math
+
     from jax.sharding import PartitionSpec as P
 
-    baxes = tuple(a for a in batch_axes if mesh.shape.get(a, 1) > 1) or None
+    baxes = tuple(a for a in batch_axes if mesh.shape.get(a, 1) > 1)
+    # keep only a batch sharding the batch actually divides — a batch-1
+    # validation/predict call on an fsdp>1 mesh must replicate, not crash
+    while baxes and q.shape[0] % math.prod(mesh.shape[a] for a in baxes):
+        baxes = baxes[:-1]
+    baxes = baxes or None
     # heads shard over tp (independent across the ring — ppermute is sp-only)
     haxis = "tp" if mesh.shape.get("tp", 1) > 1 else None
     seq_spec = P(baxes, axis_name, haxis, None)

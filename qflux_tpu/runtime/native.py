@@ -61,20 +61,79 @@ def xxh64_bytes(data: bytes, seed: int = 0) -> int:
 
 
 def xxh64_file(path: str | os.PathLike, seed: int = 0) -> str:
-    """Hex digest of a file's contents (streamed natively).
+    """Hex digest of a file's contents (streamed).
 
-    The Python fallback hashes the whole content in one pass so its digest is
-    BIT-EXACT with the native streamed XXH64 — cache keys stay portable across
-    hosts with and without the compiled library (chained per-chunk hashing
-    would produce a different, non-XXH64 digest)."""
+    The Python fallback is an incremental XXH64 (32-byte lane state carried
+    across chunks) — BIT-EXACT with the native streamed digest and the
+    one-shot `_xxh64_py`, without reading multi-GB files into memory."""
     lib = _load()
     if lib is not None:
         h = int(lib.xxh64_file(str(path).encode(), seed))
         if h:
             return f"{h:016x}"
-    with open(path, "rb") as f:
-        data = f.read()
-    return f"{_xxh64_py(data, seed):016x}"
+
+    def chunks():
+        with open(path, "rb") as f:
+            while True:
+                c = f.read(8 << 20)
+                if not c:
+                    return
+                yield c
+
+    return f"{_xxh64_stream(chunks(), seed):016x}"
+
+
+def _xxh64_stream(chunks, seed: int = 0) -> int:
+    """Incremental XXH64 over an iterable of byte chunks (bit-exact with
+    `_xxh64_py` on the concatenation)."""
+    M = (1 << 64) - 1
+    P1, P2, P3, P4, P5 = (11400714785074694791, 14029467366897019727,
+                          1609587929392839161, 9650029242287828579,
+                          2870177450012600261)
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc, inp):
+        return (rotl((acc + inp * P2) & M, 31) * P1) & M
+
+    v = [(seed + P1 + P2) & M, (seed + P2) & M, seed & M, (seed - P1) & M]
+    total, striped, buf = 0, False, b""
+    for chunk in chunks:
+        buf += chunk
+        total += len(chunk)
+        usable = len(buf) - (len(buf) % 32)
+        i = 0
+        while i < usable:
+            for j in range(4):
+                v[j] = rnd(v[j], int.from_bytes(buf[i:i + 8], "little"))
+                i += 8
+            striped = True
+        buf = buf[usable:]
+
+    if striped:
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+        for j in range(4):
+            h = ((h ^ rnd(0, v[j])) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + total) & M
+    i, n = 0, len(buf)
+    while i + 8 <= n:
+        h = (rotl(h ^ rnd(0, int.from_bytes(buf[i:i + 8], "little")), 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h = (rotl(h ^ (int.from_bytes(buf[i:i + 4], "little") * P1) & M, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ (buf[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
 
 
 def _xxh64_py(data: bytes, seed: int = 0) -> int:

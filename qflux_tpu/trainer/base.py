@@ -277,15 +277,21 @@ class Trainer:
                 # NEXT batch (cache IO / encode / device_put) while the step
                 # runs on device, THEN block on the loss scalar
                 next_batch = next(batch_iter, None)
-                emb = (self._device_batch(self._embeddings_for_batch(next_batch),
-                                          batch_sharding)
-                       if next_batch is not None else None)
-                loss = float(metrics["loss"])  # forces the step (tunnel-safe)
                 if self.global_step == 1:
-                    # trace+compile of the jitted step (reference has no
-                    # compile-time observability; SURVEY §5 tracing)
+                    # force BEFORE staging the next batch: compile_s is the
+                    # jitted-step trace+compile, not encoder staging
+                    # (reference has no compile-time observability; SURVEY §5)
+                    loss = float(metrics["loss"])
                     self.logger.log_metrics(
                         {"compile_s": time.monotonic() - t_step}, 1)
+                    emb = (self._device_batch(
+                        self._embeddings_for_batch(next_batch), batch_sharding)
+                        if next_batch is not None else None)
+                else:
+                    emb = (self._device_batch(
+                        self._embeddings_for_batch(next_batch), batch_sharding)
+                        if next_batch is not None else None)
+                    loss = float(metrics["loss"])  # forces the step (tunnel-safe)
                 ema_loss = loss if ema_loss is None else 0.95 * ema_loss + 0.05 * loss
                 fps = self.fps.step(n_items=self._batch_items(batch))
                 lr = self._lr_value(self.global_step)
@@ -331,11 +337,15 @@ class Trainer:
 
     def _lr_value(self, step: int):
         """Current learning rate for logging (reference base_trainer.py:543-549
-        logs lr per step)."""
-        lr = make_lr_schedule(self.config.optimizer.learning_rate,
-                              self.config.lr_scheduler.scheduler_type,
-                              self.config.lr_scheduler.warmup_steps,
-                              self.config.train.max_train_steps)
+        logs lr per step). The schedule is fully determined by config — build
+        it once, not per step."""
+        lr = getattr(self, "_lr_schedule", None)
+        if lr is None:
+            lr = self._lr_schedule = make_lr_schedule(
+                self.config.optimizer.learning_rate,
+                self.config.lr_scheduler.scheduler_type,
+                self.config.lr_scheduler.warmup_steps,
+                self.config.train.max_train_steps)
         try:
             return float(lr(step)) if callable(lr) else float(lr)
         except Exception:
@@ -413,6 +423,19 @@ class Trainer:
         out = {}
         dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
         n_data = self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+        lat = emb.get("image_latents")
+        if (lat is not None and n_data > 1 and np.shape(lat)[0] == 1
+                and not getattr(self, "_warned_replicated_batch", False)):
+            # batch 1 on a multi-device data mesh replicates every sample to
+            # every device — numerically valid but 1/n_data the expected
+            # throughput; the per-leaf divisibility error below only fires
+            # for batch > 1, so surface this case once
+            self._warned_replicated_batch = True
+            logging.warning(
+                "batch size 1 on a dp×fsdp=%d mesh trains fully REPLICATED "
+                "(every device computes the same sample); raise "
+                "data.batch_size to a multiple of %d for data parallelism",
+                n_data, n_data)
         for k, v in emb.items():
             arr = jnp.asarray(v)
             if arr.dtype in (jnp.float32, jnp.float16, jnp.float64):
@@ -675,9 +698,12 @@ class Trainer:
             ds = instantiate_class(vcfg.dataset["class_path"], **init_args)
             for i in range(min(vcfg.max_samples, len(ds))):
                 item = ds[i]
+                from qflux_tpu.utils.tensors import numeric_suffix_key
                 imgs = [np.asarray(item[k]) for k in ("control",)
-                        if k in item] + [np.asarray(item[k]) for k in sorted(item)
-                                         if k.startswith("control_")]
+                        if k in item] + [
+                    np.asarray(item[k])
+                    for k in sorted((k for k in item if k.startswith("control_")),
+                                    key=numeric_suffix_key)]
                 out.append({"prompt": item.get("prompt", ""), "images": imgs,
                             "height": np.shape(item["image"])[0],
                             "width": np.shape(item["image"])[1]})
@@ -693,6 +719,7 @@ class Trainer:
         samples = self._load_validation_samples()
         my_idx = set(shard_validation_samples(len(samples)))
         self._validation_embeddings = []
+        self._validation_setup_done = True
         for i, s in enumerate(samples):
             if i not in my_idx:
                 continue
@@ -720,7 +747,7 @@ class Trainer:
         trainer/validation.py:332-478; the mesh IS the distribution, so there
         is no gather choreography). Fails loud unless
         validation.fail_on_error=false."""
-        if not getattr(self, "_validation_embeddings", None):
+        if not getattr(self, "_validation_setup_done", False):
             if self.config.validation.samples or self.config.validation.dataset:
                 self.setup_validation()
             if not getattr(self, "_validation_embeddings", None):

@@ -243,13 +243,21 @@ class DreamOmni2Adapter(FluxKontextAdapter):
         prompts = batch["prompt"]
         single = isinstance(prompts, str)
         prompts = [prompts] if single else list(prompts)
+        from qflux_tpu.utils.tensors import numeric_suffix_key
+
         ctl_keys = [k for k in ("control",) if k in batch]
-        ctl_keys += sorted(k for k in batch if k.startswith("control_")
-                           and not k.startswith("control_latents"))
+        ctl_keys += sorted((k for k in batch if k.startswith("control_")
+                            and not k.startswith("control_latents")),
+                           key=numeric_suffix_key)
         new_prompts = []
         for bi, p in enumerate(prompts):
             imgs = [np.asarray(batch[k][bi]) for k in ctl_keys]
-            new_prompts.append(self.enhance_prompt(bundle, p, imgs) if imgs else p)
+            # an EMPTY prompt means conditioning dropout picked this sample —
+            # rewriting it would train the "unconditional" branch on a VLM
+            # caption (reference enhances only real instructions,
+            # dreamomni2_trainer.py:300-330)
+            new_prompts.append(self.enhance_prompt(bundle, p, imgs)
+                               if (imgs and p) else p)
         out = dict(batch)
         out["prompt"] = new_prompts[0] if single else new_prompts
         return out

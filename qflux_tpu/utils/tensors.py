@@ -73,3 +73,12 @@ def extract_batch_field(batch: dict, key: str, index: int | None = None):
         return val[index]
     arr = np.asarray(val)
     return arr[index] if arr.ndim >= 1 else arr
+
+
+def numeric_suffix_key(key: str) -> tuple[int, str]:
+    """Sort key ordering `control_2` before `control_10` (lexicographic sort
+    misorders ≥10 numbered controls against their cumulative-offset ids)."""
+    import re
+
+    m = re.search(r"_(\d+)$", key)
+    return (int(m.group(1)) if m else -1, key)

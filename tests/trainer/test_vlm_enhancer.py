@@ -92,3 +92,17 @@ def test_cache_pass_rewrites_prompts(loaded, rng):
     arrays_off, _ = adapter_off.cache_embeddings(bundle_off, dict(batch))
     assert not np.allclose(np.asarray(arrays_on["prompt_embeds"]),
                            np.asarray(arrays_off["prompt_embeds"]))
+
+
+def test_rewrite_keeps_dropped_prompts_empty(loaded, rng):
+    """An EMPTY prompt means conditioning dropout selected this sample — the
+    enhancer must NOT replace it with a VLM caption (that would train the
+    unconditional branch on a description of the controls)."""
+    adapter, bundle = loaded
+    batch = {
+        "prompt": ["", "real instruction"],
+        "control": rng.integers(0, 255, (2, 56, 56, 3), dtype=np.uint8),
+    }
+    out = adapter._rewrite_batch_prompts(bundle, batch)
+    assert out["prompt"][0] == ""                      # dropout preserved
+    assert out["prompt"][1] != "real instruction"      # real one rewritten

@@ -44,3 +44,33 @@ def test_u8_to_f32_matches_numpy():
     out = native.u8_to_f32(x)
     ref = x.astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_xxh64_stream_bit_exact_with_one_shot():
+    """The streaming fallback must produce the one-shot digest for every
+    tail-length class (0/1/4/8-byte finalization paths, stripe boundaries)
+    regardless of chunking."""
+    import numpy as np
+
+    from qflux_tpu.runtime.native import _xxh64_py, _xxh64_stream
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 31, 32, 33, 63, 64, 100, 1024, 100_003):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        ref = _xxh64_py(data, seed=3)
+        for chunk in (7, 32, 8192):
+            got = _xxh64_stream(
+                (data[i:i + chunk] for i in range(0, n, chunk)), seed=3)
+            assert got == ref, (n, chunk)
+
+
+def test_xxh64_file_streams_large(tmp_path):
+    import numpy as np
+
+    from qflux_tpu.runtime.native import _xxh64_py, xxh64_file
+
+    data = np.random.default_rng(0).integers(0, 256, 3_000_011,
+                                             dtype=np.uint8).tobytes()
+    f = tmp_path / "blob.bin"
+    f.write_bytes(data)
+    assert xxh64_file(f) == f"{_xxh64_py(data):016x}"
