@@ -14,9 +14,27 @@ REPO = Path(__file__).parents[1]
 
 
 def test_dryrun_multichip_8():
-    import __graft_entry__ as g
-
-    g.dryrun_multichip(8)  # asserts internally (finite loss, step advanced)
+    """Run the dryrun in a clean subprocess WITH the 8-device virtual mesh
+    preset (the fast no-re-exec path). In-process execution inside the full
+    suite intermittently hard-crashes XLA:CPU after ~160 accumulated
+    compiled executables (Fatal Python error in array fetch) — the crash
+    never reproduces in a fresh process, and isolation also keeps one test's
+    death from aborting the whole session."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "--xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            " --xla_force_host_platform_device_count=8").strip()
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__ as g\n"
+        "g._dryrun_impl(8)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=str(REPO),
+                         capture_output=True, text=True, timeout=1800)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "all model families ok" in out.stdout
 
 
 def test_dryrun_multichip_driver_contract():
