@@ -89,6 +89,31 @@ class EmbeddingCacheManager:
     def exists(self, main_hash: str) -> bool:
         return (self.meta_dir / f"{main_hash}.json").is_file()
 
+    def array_shape(self, main_hash: str, key: str) -> Optional[tuple]:
+        """Shape of one cached embedding from the npz member HEADER — no
+        array data is read or decompressed (the loader buckets cached
+        samples by latent shape in O(header), not O(decode))."""
+        import zipfile
+
+        meta_path = self.meta_dir / f"{main_hash}.json"
+        if not meta_path.is_file():
+            return None
+        meta = json.loads(meta_path.read_text())["keys"]
+        if key not in meta:
+            return None
+        path = self.root / key / f"{meta[key]}.npz"
+        if not path.is_file():
+            return None
+        try:
+            with zipfile.ZipFile(path) as z, z.open("data.npy") as f:
+                version = np.lib.format.read_magic(f)
+                reader = (np.lib.format.read_array_header_1_0 if version == (1, 0)
+                          else np.lib.format.read_array_header_2_0)
+                shape, _, _ = reader(f)
+                return tuple(shape)
+        except Exception:
+            return None
+
     def load(self, main_hash: str, use_empty_prompt: bool = False,
              dtype=np.float32) -> Optional[dict[str, np.ndarray]]:
         """Rehydrate all non-`empty_*` embeddings.  With use_empty_prompt,

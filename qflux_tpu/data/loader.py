@@ -70,19 +70,54 @@ class DataLoader:
         return batches
 
     def _bucket_key(self, idx: int):
-        # processed shapes are deterministic given file sizes + processor
-        # config; cache them on the dataset sample record
+        # processed shapes are deterministic given SOURCE dims + processor
+        # config, so derive the key from file headers — cache npz headers for
+        # cached samples, PIL image headers + ImageProcessor.output_shape for
+        # pixel samples: O(header) per sample instead of a full decode of the
+        # dataset before the first batch (reference amortizes this in lazy
+        # torch workers, data/dataset.py:743-751)
         rec = self.dataset.samples[idx]
         if "_bucket" not in rec:
-            item = self.dataset[idx]
-            if "img_shapes" in item:
-                rec["_bucket"] = tuple(item["img_shapes"])
-            elif "image_latents" in item:
-                rec["_bucket"] = ("cached", np.asarray(item["image_latents"]).shape)
-            else:
-                rec["_bucket"] = ("unknown",)
-            rec["_first_item"] = item
+            rec["_bucket"] = self._cheap_bucket_key(rec) or self._slow_bucket_key(idx)
         return rec["_bucket"]
+
+    def _cheap_bucket_key(self, rec):
+        ds = self.dataset
+        try:
+            if ds.use_cache and ds.cache_manager and rec.get("source") != "hf":
+                hashes = ds.file_hashes(rec)
+                if ds.cache_manager.exists(hashes["main_hash"]):
+                    shape = ds.cache_manager.array_shape(
+                        hashes["main_hash"], "image_latents")
+                    return ("cached", shape) if shape else None
+            if rec.get("source") == "hf" or "image" not in rec:
+                return None  # needs materialization — fall back
+            from PIL import Image
+
+            def hw(path):
+                with Image.open(path) as im:  # header only, no decode
+                    return im.size[1], im.size[0]
+
+            h, w = hw(rec["image"])
+            shapes = [ds.processor.output_shape(h, w, "target")]
+            for i, c in enumerate(rec.get("controls") or []):
+                ch, cw = hw(c)
+                shapes.append(ds.processor.output_shape(ch, cw, f"control_{i}"))
+            return tuple(shapes)
+        except Exception:
+            return None
+
+    def _slow_bucket_key(self, idx: int):
+        rec = self.dataset.samples[idx]
+        item = self.dataset[idx]
+        if not item.get("cached") and "img_shapes" in item:
+            key = tuple(item["img_shapes"])
+        elif "image_latents" in item:
+            key = ("cached", tuple(np.asarray(item["image_latents"]).shape))
+        else:
+            key = ("unknown",)
+        rec["_first_item"] = item
+        return key
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()

@@ -263,6 +263,29 @@ class ImageProcessor:
         nw, nh = hw
         return _resize(image, nw, nh, self.config.resize_mode)
 
+    def output_shape(self, orig_h: int, orig_w: int, kind: str = "target"
+                     ) -> tuple[int, int]:
+        """Processed (H, W) from the SOURCE dimensions alone — pure geometry,
+        no pixel decode. Mirrors process_image() branch for branch; used by
+        the loader to bucket samples from image file headers (reference
+        amortizes this in lazy torch workers, data/dataset.py:743-751)."""
+        cfg = self.config
+        cands = self.candidates_for(kind)
+        if cands:
+            best = self.select_pixels(orig_w, orig_h, cands)
+            nw, nh = calculate_best_resolution(orig_w, orig_h, best)
+            return nh, nw
+        if cfg.process_type == "fixed_pixels":
+            pixels = self._pixels_for(kind)
+            pixels = int(pixels / (32 * 32)) * (32 * 32)
+            hw = best_hw_given_area(pixels, orig_w, orig_h)
+            if hw is None:
+                raise ValueError(f"no 16-divisible factorization of {pixels}")
+            return hw[1], hw[0]
+        # resize / center_crop / *_padding all emit the divisor-rounded
+        # configured size regardless of input dims
+        return self.make_divisible(self._size_for(kind))
+
     # -- sample-level API ---------------------------------------------------
 
     def preprocess(self, sample: dict) -> dict:

@@ -111,10 +111,14 @@ def _pick_bn(n: int) -> int:
     raise ValueError(f"N={n} not a multiple of 128")
 
 
-def supports(k_in: int, n_out: int) -> bool:
+def supports(k_in: int, n_out: int, n_groups: int | None = None) -> bool:
     """Shapes the fused kernel handles (others use the XLA dequant path):
     each K half must tile by BLOCK_KP and align to the 128-row scale groups
-    (half-split packing means groups may not straddle the K/2 boundary)."""
+    (half-split packing means groups may not straddle the K/2 boundary).
+    `n_groups` (scale.shape[-2]) guards a configurable quantize group_size:
+    the kernel hard-codes GROUP=128, so any other grouping must fall back."""
+    if n_groups is not None and n_groups * GROUP != k_in:
+        return False
     return (k_in % (2 * BLOCK_KP) == 0 and BLOCK_KP % GROUP == 0
             and (k_in // 2) % GROUP == 0 and n_out % 128 == 0)
 

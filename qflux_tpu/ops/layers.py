@@ -105,7 +105,8 @@ def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
 
         q4 = p["kernel_q4"]
         if (_os.environ.get("QFLUX_FUSED_INT4") == "1" and q4.ndim == 2
-                and supports(q4.shape[0] * 2, q4.shape[1])):
+                and supports(q4.shape[0] * 2, q4.shape[1],
+                             n_groups=p["kernel_scale"].shape[-2])):
             # opt-in fused Pallas dequant-matmul (see ops/int4_matmul.py —
             # XLA's own fusion currently measures faster)
             return int4_matmul(x, q4, p["kernel_scale"])

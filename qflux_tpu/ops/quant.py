@@ -224,8 +224,11 @@ def _requant_q8(q4, f):
     *lead, d_in, d_out = q.shape
     n_g = f.shape[-2]
     g = q.reshape(*lead, n_g, d_in // n_g, d_out).astype(jnp.float32)
-    return jnp.round(g * f[..., :, None, :]).astype(jnp.int8).reshape(
-        *lead, d_in, d_out)
+    # clip before the cast: the packed format admits -8 (quantize_kernel_int4
+    # never emits it, but external int4 trees may), and round(-8·127/7) = -145
+    # would wrap on astype(int8)
+    return jnp.clip(jnp.round(g * f[..., :, None, :]), -127, 127).astype(
+        jnp.int8).reshape(*lead, d_in, d_out)
 
 
 def _rq4_fwd_raw(x, q4, g_scale):

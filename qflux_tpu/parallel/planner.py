@@ -57,18 +57,26 @@ def _replicated(shapes: Any, mesh) -> Any:
 
 
 def _batch_sharded(shapes: Any, mesh, batch_size: int) -> Any:
-    """Leading-batch leaves shard over (dp, fsdp); shared tables replicate
-    (same placement rule as the fit loop, trainer/base.py)."""
+    """Batch leaves shard over (dp, fsdp); shared tables replicate. Leaves
+    are classified by KEY NAME (the trainer's SHARED_BATCH_KEY_PREFIXES rule,
+    trainer/base.py:_device_batch) — not by leading-dim equality, so the
+    planner places e.g. a RoPE table whose first dim happens to equal the
+    batch size exactly like the real fit loop would."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qflux_tpu.trainer.train_step import SHARED_BATCH_KEY_PREFIXES
 
     bsh = NamedSharding(mesh, P(("dp", "fsdp")))
     rep = NamedSharding(mesh, P())
 
-    def place(s):
-        sh = bsh if (s.ndim >= 2 and s.shape[0] == batch_size) else rep
+    def place(path, s):
+        key = str(getattr(path[0], "key", "")) if path else ""
+        shared = key.startswith(SHARED_BATCH_KEY_PREFIXES)
+        sh = bsh if (not shared and s.ndim >= 1 and s.shape[:1] == (batch_size,)
+                     and batch_size > 1) else rep
         return jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh)
 
-    return jax.tree.map(place, shapes)
+    return jax.tree_util.tree_map_with_path(place, shapes)
 
 
 def plan(model: str = "flux", width: str = "bench", *,

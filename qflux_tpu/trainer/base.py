@@ -83,7 +83,7 @@ class Trainer:
         self.adapter_cls = resolve_symbol(ADAPTERS[config.trainer.value])
         self.mesh = build_mesh(MeshConfig(
             dp=config.mesh.dp, fsdp=config.mesh.fsdp, tp=config.mesh.tp,
-            sp=config.mesh.sp))
+            sp=config.mesh.sp, dcn_axes=tuple(config.mesh.dcn_axes)))
         self.scheduler = FlowMatchScheduler()
         self.fps = FpsLogger()
         self.global_step = 0
@@ -555,9 +555,17 @@ class Trainer:
     def predict_from_embeddings(self, emb: dict, height: int, width: int,
                                 num_inference_steps: Optional[int] = None,
                                 lora: Optional[Any] = None,
-                                seed: Optional[int] = None) -> np.ndarray:
+                                seed: Optional[int] = None,
+                                guidance: Optional[float] = None,
+                                true_cfg_scale: Optional[float] = None) -> np.ndarray:
+        """`guidance`/`true_cfg_scale` default to the predict section; the
+        validation loop passes its own values (reference validation sampling
+        uses its own params, trainer/validation.py:332-397)."""
         pcfg = self.config.predict
         steps = num_inference_steps or pcfg.num_inference_steps
+        guidance = pcfg.guidance if guidance is None else guidance
+        true_cfg_scale = (pcfg.true_cfg_scale if true_cfg_scale is None
+                          else true_cfg_scale)
         gh, gw = self.adapter.latent_grid(height, width)
         s_img = gh * gw
         plan = self.scheduler.sampling_plan(steps, image_seq_len=s_img)
@@ -566,7 +574,7 @@ class Trainer:
         if use_lora is not None:
             params = merge_lora(params, use_lora)
         sampler = make_sampler(self.adapter.predict_velocity, SamplingConfig(
-            num_inference_steps=steps, true_cfg_scale=pcfg.true_cfg_scale))
+            num_inference_steps=steps, true_cfg_scale=true_cfg_scale))
         b = int(np.shape(emb["prompt_embeds"])[0])
         key = jax.random.PRNGKey(self.config.logging.sampling_seed if seed is None else seed)
         dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
@@ -575,7 +583,7 @@ class Trainer:
                    if jnp.asarray(v).dtype in (jnp.float32, jnp.float16) else jnp.asarray(v))
                for k, v in emb.items()}
         if "guidance" not in emb:
-            emb["guidance"] = jnp.full((b,), pcfg.guidance, dtype)
+            emb["guidance"] = jnp.full((b,), guidance, dtype)
         latents = sampler(params, emb, lat0, jnp.asarray(plan.sigmas))
         return self.adapter.decode_latents(self.bundle, latents, height, width)
 
@@ -754,9 +762,12 @@ class Trainer:
                 return
         for rec in self._validation_embeddings:
             try:
+                vcfg = self.config.validation
                 img = self.predict_from_embeddings(
                     dict(rec["emb"]), rec["height"], rec["width"],
-                    num_inference_steps=self.config.validation.num_inference_steps)
+                    num_inference_steps=vcfg.num_inference_steps,
+                    guidance=vcfg.guidance,
+                    true_cfg_scale=vcfg.true_cfg_scale)
                 self.logger.log_images(f"validation/sample_{rec['index']}",
                                        [im for im in img], self.global_step)
                 self.logger.log_text(f"validation/prompt_{rec['index']}",

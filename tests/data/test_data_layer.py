@@ -208,3 +208,57 @@ def test_loader_multiworker_matches_single(tmp_image_dir):
     for x, y in zip(b1, b4):
         assert x["prompt"] == y["prompt"]
         np.testing.assert_array_equal(np.asarray(x["image"]), np.asarray(y["image"]))
+
+
+def test_bucket_keys_need_no_decode(tmp_image_dir, monkeypatch):
+    """Round 3 (VERDICT #10): bucketing derives keys from image file headers,
+    so emitting the FIRST batch decodes only that batch's samples — not the
+    whole dataset."""
+    proc = ImageProcessor(ProcessorSection(process_type="resize", target_size=[64, 96]))
+    ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    calls = []
+    orig = ImageDataset.__getitem__
+    monkeypatch.setattr(ImageDataset, "__getitem__",
+                        lambda self, i: calls.append(i) or orig(self, i))
+    dl = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False,
+                    seed=0, prefetch=0)
+    it = iter(dl)
+    first = next(it)
+    assert first["image"].shape[1:] == (64, 96, 3)
+    # prefetch window may decode the next batch, but never the whole dataset
+    assert len(set(calls)) <= 2, calls
+    # keys were still computed for every sample (cheaply) and bucket equal shapes
+    keys = {ds.samples[i].get("_bucket") for i in range(len(ds))}
+    assert all(k is not None for k in keys)
+    assert len(keys) == 2  # sample 0 has an extra control → its own bucket
+    assert all("_first_item" not in s for s in ds.samples)  # no pinned decodes
+
+
+def test_bucket_keys_match_item_shapes(tmp_image_dir):
+    """Header-derived bucket keys equal the decoded img_shapes."""
+    proc = ImageProcessor(ProcessorSection(process_type="resize", target_size=[64, 96]))
+    ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    dl = DataLoader(ds, batch_size=1)
+    for i in range(len(ds)):
+        key = dl._bucket_key(i)
+        assert key == tuple(ds[i]["img_shapes"]), (i, key)
+
+
+def test_bucket_keys_cached_samples_use_npz_header(tmp_image_dir, tmp_path):
+    """Cached samples bucket by the latent shape read from the npz header."""
+    from qflux_tpu.data.cache import EmbeddingCacheManager
+
+    proc = ImageProcessor(ProcessorSection(process_type="resize", target_size=[64, 96]))
+    ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc,
+                      cache_dir=str(tmp_path / "cache"), use_cache=True)
+    cm = ds.cache_manager
+    assert isinstance(cm, EmbeddingCacheManager)
+    for i in range(len(ds)):
+        h = ds.file_hashes(ds.samples[i])
+        cm.save(h["main_hash"],
+                {"image_latents": np.zeros((16, 64), np.float16),
+                 "prompt_embeds": np.zeros((4, 8), np.float16)},
+                {"image_latents": "ih", "prompt_embeds": "ph"})
+    dl = DataLoader(ds, batch_size=1)
+    key = dl._bucket_key(0)
+    assert key == ("cached", (16, 64))
