@@ -86,6 +86,15 @@ def _run_plan(config, args) -> None:
         print(f"--plan: batch {config.data.batch_size} -> {bs} "
               f"(must divide dp*fsdp={n_data})")
 
+    # sequence-parallel advice straight from the geometry (the report repeats
+    # it from the compiled plan; SURVEY §2.8 new-capability mandate)
+    from qflux_tpu.parallel.planner import SP_ADVICE_SEQ
+
+    joint = 512 + 2 * grid_h * grid_w
+    if joint >= SP_ADVICE_SEQ and sizes.get("sp", 1) == 1:
+        print(f"--plan: joint sequence ~{joint} tokens; consider mesh.sp >= 2 "
+              "(ring attention) to split it across devices")
+
     # remat "none" must plan WITHOUT remat (activation residency is far
     # larger) — a flash-remat estimate would pass configs that OOM for real
     remat = ("none" if config.mesh.remat == "none"

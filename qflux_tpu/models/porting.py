@@ -52,6 +52,13 @@ def load_safetensors(path: str) -> dict[str, np.ndarray]:
     with safe_open(path, framework="np") as f:
         for k in f.keys():
             out[k] = f.get_tensor(k)
+    # pretrained-quantized checkpoints (the reference's fp4/NF4 repos,
+    # data/config.py:806-820) become transparent here: bnb 4-bit weights are
+    # dequantized so every converter sees a full-precision state dict
+    from qflux_tpu.models.nf4 import import_bnb_4bit, is_bnb_4bit
+
+    if is_bnb_4bit(out):
+        out = import_bnb_4bit(out)
     return out
 
 

@@ -131,3 +131,96 @@ def convert_qwen_image_transformer(sd: Mapping[str, np.ndarray], num_layers=60,
         })
     p["blocks"] = _stack(blocks)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Qwen 3D VAE (diffusers AutoencoderKLQwenImage — the WanVAE layout)
+
+def _c3d(sd, name, dtype=np.float32):
+    """CausalConv3d weight [cout, cin, kt, kh, kw] → kernel [kt, kh, kw, cin, cout]."""
+    return {"kernel": np.asarray(sd[f"{name}.weight"], dtype).transpose(2, 3, 4, 1, 0),
+            "bias": np.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _c2d(sd, name, dtype=np.float32):
+    """Conv2d weight [cout, cin, kh, kw] → kernel [kh, kw, cin, cout]."""
+    return {"kernel": np.asarray(sd[f"{name}.weight"], dtype).transpose(2, 3, 1, 0),
+            "bias": np.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _gamma(sd, name, dtype=np.float32):
+    """WanRMS_norm gamma [c, 1, 1] (or [c]) → [c]."""
+    return {"gamma": np.asarray(sd[f"{name}.gamma"], dtype).reshape(-1)}
+
+
+def _conv1x1_lin(sd, name, dtype=np.float32):
+    """1×1(×1) conv → linear over channels: kernel [cin, cout]."""
+    w = np.asarray(sd[f"{name}.weight"], dtype)
+    return {"kernel": w.reshape(w.shape[0], w.shape[1]).T.copy(),
+            "bias": np.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _wan_res(sd, base, dtype):
+    p = {"norm1": _gamma(sd, f"{base}.norm1", dtype),
+         "conv1": _c3d(sd, f"{base}.conv1", dtype),
+         "norm2": _gamma(sd, f"{base}.norm2", dtype),
+         "conv2": _c3d(sd, f"{base}.conv2", dtype)}
+    if f"{base}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _c3d(sd, f"{base}.conv_shortcut", dtype)
+    return p
+
+
+def _wan_mid(sd, base, dtype):
+    return {"res_0": _wan_res(sd, f"{base}.resnets.0", dtype),
+            "attn": {"norm": _gamma(sd, f"{base}.attentions.0.norm", dtype),
+                     "to_qkv": _conv1x1_lin(sd, f"{base}.attentions.0.to_qkv", dtype),
+                     "proj": _conv1x1_lin(sd, f"{base}.attentions.0.proj", dtype)},
+            "res_1": _wan_res(sd, f"{base}.resnets.1", dtype)}
+
+
+def convert_qwen_vae(sd: Mapping[str, np.ndarray], num_res_blocks: int = 2,
+                     levels: int = 4, dtype=np.float32) -> dict:
+    """diffusers AutoencoderKLQwenImage state dict → models/qwen/vae tree.
+
+    The Wan encoder/decoder store blocks as a FLAT ModuleList (residuals and
+    resamples interleaved); this walks it back into the per-level layout.
+    `time_conv` weights inside 3D resamples are intentionally skipped: the
+    image pipeline runs T=1 frames, where the causal temporal conv reduces to
+    identity semantics (only the trailing time slice of each kernel acts —
+    models/qwen/vae.py:_conv3d_t1).  quant_conv / post_quant_conv become 1×1
+    channel linears applied in encode_moments / decode.
+    Reference consumes this model via diffusers (load_model.py:9-47)."""
+    enc: dict = {"conv_in": _c3d(sd, "encoder.conv_in", dtype)}
+    k = 0
+    for i in range(levels):
+        blk: dict = {}
+        for j in range(num_res_blocks):
+            blk[f"res_{j}"] = _wan_res(sd, f"encoder.down_blocks.{k}", dtype)
+            k += 1
+        if i < levels - 1:
+            blk["down"] = _c2d(sd, f"encoder.down_blocks.{k}.resample.1", dtype)
+            k += 1
+        enc[f"down_{i}"] = blk
+    enc["mid"] = _wan_mid(sd, "encoder.mid_block", dtype)
+    enc["norm_out"] = _gamma(sd, "encoder.norm_out", dtype)
+    enc["conv_out"] = _c3d(sd, "encoder.conv_out", dtype)
+    if "quant_conv.weight" in sd:
+        enc["quant_conv"] = _conv1x1_lin(sd, "quant_conv", dtype)
+
+    dec: dict = {"conv_in": _c3d(sd, "decoder.conv_in", dtype),
+                 "mid": _wan_mid(sd, "decoder.mid_block", dtype)}
+    k = 0
+    for i in range(levels):
+        blk = {}
+        for j in range(num_res_blocks + 1):
+            blk[f"res_{j}"] = _wan_res(sd, f"decoder.up_blocks.{k}", dtype)
+            k += 1
+        if i < levels - 1:
+            blk["up"] = _c2d(sd, f"decoder.up_blocks.{k}.resample.1", dtype)
+            k += 1
+        dec[f"up_{i}"] = blk
+    dec["norm_out"] = _gamma(sd, "decoder.norm_out", dtype)
+    dec["conv_out"] = _c3d(sd, "decoder.conv_out", dtype)
+    if "post_quant_conv.weight" in sd:
+        dec["post_quant_conv"] = _conv1x1_lin(sd, "post_quant_conv", dtype)
+    return {"encoder": enc, "decoder": dec}

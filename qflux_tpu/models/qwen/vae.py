@@ -227,7 +227,11 @@ def encode_moments(params, cfg: QwenVAEConfig, images: jax.Array) -> jax.Array:
             x = _downsample(blk["down"], x)
     x = _mid(enc["mid"], x)
     x = jax.nn.silu(_rms_norm_ch(enc["norm_out"], x))
-    return _conv3d_t1(enc["conv_out"], x)
+    x = _conv3d_t1(enc["conv_out"], x)
+    if "quant_conv" in enc:  # ported checkpoints carry the WanVAE 1×1 conv
+        q = enc["quant_conv"]
+        x = x @ q["kernel"].astype(x.dtype) + q["bias"].astype(x.dtype)
+    return x
 
 
 def encode(params, cfg: QwenVAEConfig, images: jax.Array) -> jax.Array:
@@ -246,6 +250,9 @@ def decode(params, cfg: QwenVAEConfig, latents: jax.Array) -> jax.Array:
     z = latents * jnp.asarray(cfg.latents_std, latents.dtype) + jnp.asarray(
         cfg.latents_mean, latents.dtype)
     dec = params["decoder"]
+    if "post_quant_conv" in dec:
+        q = dec["post_quant_conv"]
+        z = z @ q["kernel"].astype(z.dtype) + q["bias"].astype(z.dtype)
     x = _conv3d_t1(dec["conv_in"], z)
     x = _mid(dec["mid"], x)
     for i in range(len(cfg.dim_mult)):

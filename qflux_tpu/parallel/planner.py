@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# joint-sequence length past which the planner (and Trainer.fit) advise
+# sequence parallelism (mesh.sp + ring attention)
+SP_ADVICE_SEQ = 16384
+
 COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all")
 
@@ -201,6 +205,19 @@ def plan(model: str = "flux", width: str = "bench", *,
     counts = {c: len(re.findall(rf"{c}(?:-start)?[.\d]*\(", hlo))
               for c in COLLECTIVES}
     mb = 1024 * 1024
+
+    # sequence-parallel advice (SURVEY §2.8 new-capability mandate): the
+    # joint [txt, img(+controls)] sequence drives attention working set and
+    # per-block activation residency; past ~16k tokens ring attention over
+    # an sp axis is the designed answer (ops/ring_attention.py)
+    joint_seq = txt_len + 2 * grid_h * grid_w  # target + one control
+    advice = []
+    if joint_seq >= SP_ADVICE_SEQ and axes.get("sp", 1) == 1:
+        advice.append(
+            f"joint sequence is {joint_seq} tokens (txt {txt_len} + image "
+            f"{2 * grid_h * grid_w}); set mesh.sp >= 2 to split it with ring "
+            "attention (ops/ring_attention.py) — per-device attention "
+            "residency scales 1/sp")
     # state+params are donated/aliased into outputs, so resident bytes are
     # arguments + temps (outputs alias); peak_memory_in_bytes on the CPU
     # backend under-reports temps, so take the max of both views
@@ -246,4 +263,6 @@ def plan(model: str = "flux", width: str = "bench", *,
         "collectives": counts,
         "compile_s": round(compile_s, 1),
         "fits_16gb_v5e": (resident - cpu_upcast) < 15.2e9,  # ~800 MB slack
+        "joint_seq": joint_seq,
+        "advice": advice,
     }

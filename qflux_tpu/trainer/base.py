@@ -100,30 +100,63 @@ class Trainer:
 
     def setup_versioned_dir(self) -> Path:
         """output/<project>/vN, garbage-collecting invalid old runs
-        (reference base_trainer.py:117-181)."""
+        (reference base_trainer.py:117-181).
+
+        Multi-host: only process 0 scans/GCs/allocates the version (avoiding
+        the create/GC race the reference sidesteps with rank-0 gating,
+        utils/logger.py:422-431); the chosen version number is broadcast so
+        every process agrees on the SAME run dir path."""
+        from qflux_tpu.parallel.collectives import broadcast_from_main, is_main_process
+
         root = Path(self.config.logging.output_dir) / self.config.logging.project
-        root.mkdir(parents=True, exist_ok=True)
-        versions = []
-        for d in root.iterdir():
-            m = re.fullmatch(r"v(\d+)", d.name)
-            if not (m and d.is_dir()):
-                continue
-            state_file = d / "state.json"
-            has_ckpt = any(d.rglob("*.safetensors"))
-            step = 0
-            if state_file.exists():
-                try:
-                    step = json.loads(state_file.read_text()).get("global_step", 0)
-                except Exception:
-                    step = 0
-            if step < 5 and not has_ckpt:
-                shutil.rmtree(d, ignore_errors=True)  # GC invalid run
-            else:
-                versions.append(int(m.group(1)))
-        v = max(versions, default=-1) + 1
+        v = 0
+        if is_main_process():
+            root.mkdir(parents=True, exist_ok=True)
+            versions = []
+            for d in root.iterdir():
+                m = re.fullmatch(r"v(\d+)", d.name)
+                if not (m and d.is_dir()):
+                    continue
+                state_file = d / "state.json"
+                has_ckpt = any(d.rglob("*.safetensors"))
+                step = 0
+                if state_file.exists():
+                    try:
+                        step = json.loads(state_file.read_text()).get("global_step", 0)
+                    except Exception:
+                        step = 0
+                if step < 5 and not has_ckpt:
+                    shutil.rmtree(d, ignore_errors=True)  # GC invalid run
+                else:
+                    versions.append(int(m.group(1)))
+            v = max(versions, default=-1) + 1
+        v = int(broadcast_from_main(np.int32(v)))
         out = root / f"v{v}"
-        out.mkdir(parents=True, exist_ok=True)
+        if is_main_process():
+            out.mkdir(parents=True, exist_ok=True)
         return out
+
+    def _advise_sequence_parallel(self):
+        """Warn when the configured resolution implies a joint sequence long
+        enough for ring attention but mesh.sp is 1 (SURVEY §2.8; VERDICT
+        round-2 #8: nothing connected long sequences to the sp axis)."""
+        from qflux_tpu.parallel.planner import SP_ADVICE_SEQ
+
+        ts = self.config.data.processor.target_size
+        if not ts or self.adapter is None or self.mesh.shape.get("sp", 1) > 1:
+            return
+        h = int(ts[0])
+        w = int(ts[1]) if len(ts) > 1 else h
+        try:
+            gh, gw = self.adapter.latent_grid(h, w)
+        except Exception:
+            return
+        joint = (self.config.predict.max_sequence_length or 512) + 2 * gh * gw
+        if joint >= SP_ADVICE_SEQ:
+            logging.warning(
+                "joint sequence ~%d tokens at %dx%d (target + control + "
+                "text); set mesh.sp >= 2 to split it with ring attention — "
+                "per-device attention residency scales 1/sp", joint, h, w)
 
     def _install_signal_handlers(self):
         def handler(signum, frame):
@@ -210,16 +243,23 @@ class Trainer:
         cfg = self.config
         seed_everything(cfg.train.seed)
         self._install_signal_handlers()
+        from qflux_tpu.parallel.collectives import is_main_process
+
+        main = is_main_process()
         self.output_dir = self.setup_versioned_dir()
+        # rank-gated logging: non-main processes get a NullLogger backend
+        # (reference utils/logger.py:422-431)
         self.logger = LoggerManager(
             report_to=cfg.logging.report_to, log_dir=self.output_dir / "logs",
             project=cfg.logging.tracker_project_name or cfg.logging.project,
-            config=json.loads(cfg.model_dump_json()))
-        (self.output_dir / "train_config.yaml").write_text(
-            __import__("yaml").safe_dump(json.loads(cfg.model_dump_json())))
+            config=json.loads(cfg.model_dump_json()), is_main_process=main)
+        if main:
+            (self.output_dir / "train_config.yaml").write_text(
+                __import__("yaml").safe_dump(json.loads(cfg.model_dump_json())))
 
         if self.adapter is None:
             self.load_model()
+        self._advise_sequence_parallel()
         if cfg.resume:
             cfg.model.lora.pretrained_weight = str(cfg.resume)
         lora = self.build_lora()
@@ -456,12 +496,21 @@ class Trainer:
     # checkpointing / resume
 
     def save_checkpoint(self, last: bool = False):
+        """Multi-host: file writes happen on process 0 only (LoRA + optimizer
+        state are fully replicated, so process 0 holds complete values —
+        reference rank-gates the same way, base_trainer.py:798-825); the
+        orbax async save stays all-process (orbax coordinates multihost
+        writes itself)."""
+        from qflux_tpu.parallel.collectives import is_main_process
+
+        main = is_main_process()
         name = f"checkpoint-last-{self.global_step}" if last else f"checkpoint-{self.global_step}"
         ckpt_dir = self.output_dir / name
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        lora_host = jax.tree.map(np.asarray, self.state.lora)
-        save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn,
-                              head_dim=self.bundle.dit_cfg.attention_head_dim)
+        if main:
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            lora_host = jax.tree.map(np.asarray, self.state.lora)
+            save_lora_safetensors(lora_host, ckpt_dir, self.adapter.lora_module_name_fn,
+                                  head_dim=self.bundle.dit_cfg.attention_head_dim)
         if getattr(self, "_async_ckpt", None) is not None:
             # orbax async: device→host copy now, disk write off-thread; the
             # optimizer npz below is skipped (reference saves synchronously on
@@ -469,15 +518,16 @@ class Trainer:
             self._async_ckpt.save(self.global_step,
                                   {"opt_state": self.state.opt_state,
                                    "lora": self.state.lora})
-        else:
+        elif main:
             np.savez(ckpt_dir / "optimizer_state.npz", **{
                 "/".join(map(str, path)): np.asarray(leaf)
                 for path, leaf in _flatten_with_paths(self.state.opt_state)})
-        (ckpt_dir / "state.json").write_text(json.dumps({
-            "global_step": self.global_step, "epoch": self.epoch, "is_last": last,
-            "git": get_git_info(),
-        }))
-        logging.info("saved checkpoint %s", ckpt_dir)
+        if main:
+            (ckpt_dir / "state.json").write_text(json.dumps({
+                "global_step": self.global_step, "epoch": self.epoch, "is_last": last,
+                "git": get_git_info(),
+            }))
+            logging.info("saved checkpoint %s", ckpt_dir)
         return ckpt_dir
 
     def _load_train_state(self, ckpt: Path, optimizer):
@@ -727,6 +777,9 @@ class Trainer:
         samples = self._load_validation_samples()
         my_idx = set(shard_validation_samples(len(samples)))
         self._validation_embeddings = []
+        # every process sees ALL samples here (only embedding compute is
+        # sharded), so keep the global prompt list for post-gather logging
+        self._validation_prompts = [s["prompt"] for s in samples]
         self._validation_setup_done = True
         for i, s in enumerate(samples):
             if i not in my_idx:
@@ -760,6 +813,7 @@ class Trainer:
                 self.setup_validation()
             if not getattr(self, "_validation_embeddings", None):
                 return
+        results: list[tuple[int, np.ndarray]] = []
         for rec in self._validation_embeddings:
             try:
                 vcfg = self.config.validation
@@ -768,14 +822,35 @@ class Trainer:
                     num_inference_steps=vcfg.num_inference_steps,
                     guidance=vcfg.guidance,
                     true_cfg_scale=vcfg.true_cfg_scale)
-                self.logger.log_images(f"validation/sample_{rec['index']}",
-                                       [im for im in img], self.global_step)
-                self.logger.log_text(f"validation/prompt_{rec['index']}",
-                                     rec["prompt"], self.global_step)
+                results.append((rec["index"], np.asarray(img)))
             except Exception as e:
                 if self.config.validation.fail_on_error:
                     raise
                 logging.warning("validation sample %d failed: %s", rec["index"], e)
+        # multi-host: every process sampled its round-robin shard; gather the
+        # decoded images so the single (rank-0) logger writes all of them —
+        # the reference's accelerator.gather of latents+idx to rank 0
+        # (validation.py:359-374). Single-process this is the identity.
+        from qflux_tpu.parallel.collectives import gather_validation_images, process_count
+
+        if process_count() > 1:
+            try:
+                idxs, imgs = gather_validation_images(
+                    [i for i, _ in results], [im for _, im in results],
+                    n_total=len(self._validation_prompts))
+                results = list(zip(idxs, imgs))
+            except Exception as e:
+                if self.config.validation.fail_on_error:
+                    raise
+                logging.warning("validation image gather failed (%s); logging "
+                                "only this process's shard", e)
+        prompts = getattr(self, "_validation_prompts", None) or {}
+        for idx, img in results:
+            self.logger.log_images(f"validation/sample_{idx}",
+                                   [im for im in img], self.global_step)
+            if idx < len(prompts):
+                self.logger.log_text(f"validation/prompt_{idx}",
+                                     prompts[idx], self.global_step)
 
 
 def _flatten_with_paths(tree):

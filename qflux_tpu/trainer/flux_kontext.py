@@ -75,10 +75,16 @@ class SimpleTokenizer:
         self.eos = eos_token_id
 
     def __call__(self, texts: list[str], max_length: int | None = None) -> np.ndarray:
+        import zlib
+
         L = max_length or self.max_length
         out = np.zeros((len(texts), L), np.int32)
         for i, t in enumerate(texts):
-            toks = [hash(w) % (self.vocab_size - 2) + 1 for w in t.split()][: L - 1]
+            # crc32, not hash(): Python string hashing is salted per process,
+            # which would give each multi-host process different token ids
+            # (jax.device_put cross-process value check caught this)
+            toks = [zlib.crc32(w.encode()) % (self.vocab_size - 2) + 1
+                    for w in t.split()][: L - 1]
             out[i, : len(toks)] = toks
             if self.eos is not None:
                 out[i, len(toks)] = self.eos

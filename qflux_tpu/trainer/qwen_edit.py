@@ -157,6 +157,16 @@ class QwenImageEditAdapter:
                                     convert_qwen_image_transformer(dit_sd, dit_cfg.num_layers)),
             vae_cfg=qwen_vae.QwenVAEConfig(),
         )
+        vae_path = config.model.vae_path or root / "vae"
+        if Path(vae_path).exists():
+            from qflux_tpu.models.qwen.porting import convert_qwen_vae
+
+            vcfg = bundle.vae_cfg
+            bundle.vae_params = jax.tree.map(
+                jnp.asarray, convert_qwen_vae(
+                    _load_dir(vae_path),
+                    num_res_blocks=vcfg.num_res_blocks,
+                    levels=len(vcfg.dim_mult)))
         te_path = config.model.text_encoder_path or root / "text_encoder"
         if Path(te_path).exists():
             vl_sd = _load_dir(te_path)

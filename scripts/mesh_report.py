@@ -105,6 +105,9 @@ def main(argv=None) -> None:
                   f"{pd['resident_est']:>12} {str(r['fits_16gb_v5e']):>8}  "
                   f"{c['all-reduce']}/{c['all-gather']}/{c['reduce-scatter']}/"
                   f"{c['collective-permute']}")
+        for r in rows:
+            for a in r.get("advice", []):
+                print(f"ADVICE: {a}")
 
 
 def _reexec_on_cpu(n: int) -> None:

@@ -174,3 +174,106 @@ def test_vae_converter_roundtrip():
     out = jvae.decode(params, cfg, lat)
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_qwen_vae_roundtrip(rng):
+    """Round 3: the WanVAE-layout converter (diffusers AutoencoderKLQwenImage
+    flat ModuleLists) reconstructs the exact per-level tree — verified by
+    serializing a tiny init tree into Wan key layout and converting back."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.qwen import vae as qwen_vae
+    from qflux_tpu.models.qwen.porting import convert_qwen_vae
+
+    cfg = qwen_vae.QwenVAEConfig.tiny()
+    tree = qwen_vae.init(jax.random.PRNGKey(0), cfg)
+    levels, nres = len(cfg.dim_mult), cfg.num_res_blocks
+
+    sd = {}
+
+    def put_c3(base, p):
+        sd[f"{base}.weight"] = np.asarray(p["kernel"]).transpose(4, 3, 0, 1, 2)
+        sd[f"{base}.bias"] = np.asarray(p["bias"])
+
+    def put_c2(base, p):
+        sd[f"{base}.weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{base}.bias"] = np.asarray(p["bias"])
+
+    def put_res(base, p):
+        sd[f"{base}.norm1.gamma"] = np.asarray(p["norm1"]["gamma"])[:, None, None]
+        put_c3(f"{base}.conv1", p["conv1"])
+        sd[f"{base}.norm2.gamma"] = np.asarray(p["norm2"]["gamma"])[:, None, None]
+        put_c3(f"{base}.conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            put_c3(f"{base}.conv_shortcut", p["conv_shortcut"])
+
+    def put_lin1x1(base, p):
+        k = np.asarray(p["kernel"])  # [cin, cout] -> conv [cout, cin, 1, 1]
+        sd[f"{base}.weight"] = k.T[:, :, None, None]
+        sd[f"{base}.bias"] = np.asarray(p["bias"])
+
+    def put_mid(base, p):
+        put_res(f"{base}.resnets.0", p["res_0"])
+        sd[f"{base}.attentions.0.norm.gamma"] = np.asarray(
+            p["attn"]["norm"]["gamma"])[:, None, None]
+        put_lin1x1(f"{base}.attentions.0.to_qkv", p["attn"]["to_qkv"])
+        put_lin1x1(f"{base}.attentions.0.proj", p["attn"]["proj"])
+        put_res(f"{base}.resnets.1", p["res_1"])
+
+    enc = tree["encoder"]
+    put_c3("encoder.conv_in", enc["conv_in"])
+    k = 0
+    for i in range(levels):
+        for j in range(nres):
+            put_res(f"encoder.down_blocks.{k}", enc[f"down_{i}"][f"res_{j}"])
+            k += 1
+        if i < levels - 1:
+            put_c2(f"encoder.down_blocks.{k}.resample.1", enc[f"down_{i}"]["down"])
+            # a 3D resample's temporal conv — must be skipped by the converter
+            sd[f"encoder.down_blocks.{k}.time_conv.weight"] = np.zeros((1,))
+            sd[f"encoder.down_blocks.{k}.time_conv.bias"] = np.zeros((1,))
+            k += 1
+    put_mid("encoder.mid_block", enc["mid"])
+    sd["encoder.norm_out.gamma"] = np.asarray(enc["norm_out"]["gamma"])[:, None, None]
+    put_c3("encoder.conv_out", enc["conv_out"])
+    # quant convs (identity-ish linears)
+    z2 = 2 * cfg.z_dim
+    sd["quant_conv.weight"] = np.eye(z2, dtype=np.float32)[:, :, None, None, None]
+    sd["quant_conv.bias"] = np.zeros((z2,), np.float32)
+
+    dec = tree["decoder"]
+    put_c3("decoder.conv_in", dec["conv_in"])
+    put_mid("decoder.mid_block", dec["mid"])
+    k = 0
+    for i in range(levels):
+        for j in range(nres + 1):
+            put_res(f"decoder.up_blocks.{k}", dec[f"up_{i}"][f"res_{j}"])
+            k += 1
+        if i < levels - 1:
+            put_c2(f"decoder.up_blocks.{k}.resample.1", dec[f"up_{i}"]["up"])
+            k += 1
+    sd["decoder.norm_out.gamma"] = np.asarray(dec["norm_out"]["gamma"])[:, None, None]
+    put_c3("decoder.conv_out", dec["conv_out"])
+    sd["post_quant_conv.weight"] = np.eye(cfg.z_dim, dtype=np.float32)[:, :, None, None, None]
+    sd["post_quant_conv.bias"] = np.zeros((cfg.z_dim,), np.float32)
+
+    got = convert_qwen_vae(sd, num_res_blocks=nres, levels=levels)
+
+    # identical numerical tree (quant convs excepted — identity by design)
+    flat_a = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat_a:
+        node = got
+        for p in path:
+            node = node[p.key]
+        np.testing.assert_array_equal(np.asarray(node), np.asarray(leaf),
+                                      err_msg=str(path))
+
+    # with identity quant convs, encode/decode equal the unconverted model
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    a = qwen_vae.encode(tree, cfg, x)
+    b = qwen_vae.encode(got, cfg, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    da = qwen_vae.decode(tree, cfg, a)
+    db = qwen_vae.decode(got, cfg, b)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-5)
