@@ -174,8 +174,13 @@ def main(argv=None):
         controls = [np.asarray(Image.open(p).convert("RGB")) for p in args.image]
         imgs = trainer.predict(controls, args.prompt,
                                num_inference_steps=args.steps)
-        Image.fromarray(imgs[0]).save(args.output)
-        logging.info("wrote %s", args.output)
+        # write EVERY output: first keeps the requested name, extras get
+        # -1, -2, … suffixes (reference predict saves all samples)
+        stem, ext = os.path.splitext(args.output)
+        for i, im in enumerate(imgs):
+            path = args.output if i == 0 else f"{stem}-{i}{ext}"
+            Image.fromarray(im).save(path)
+            logging.info("wrote %s", path)
         return
 
     processor = ImageProcessor(config.data.processor)

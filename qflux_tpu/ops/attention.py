@@ -37,11 +37,17 @@ def sdpa_reference(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None):
     *_, d = q.shape
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    mask = None
     if segment_ids is not None:
         kv_segment_ids = kv_segment_ids if kv_segment_ids is not None else segment_ids
         mask = segment_mask(segment_ids, kv_segment_ids)
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        # a fully-masked row softmaxes to uniform (all logits == NEG_INF);
+        # zero it so padded rows output 0 — matching the flash kernel, and
+        # keeping padded-row cotangents out of dk/dv
+        probs = jnp.where(mask, probs, 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

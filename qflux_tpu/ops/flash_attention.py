@@ -68,35 +68,66 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
+def _seg_ok(q_seg, k_seg):
+    """[bq], [bk] int32 → bool [bq, bk]; True = may attend."""
+    return (q_seg[:, None] == k_seg[None, :]) & (q_seg[:, None] != 0)
+
+
+def _seg_ok_t(q_seg, k_seg):
+    """Transposed mask [bk, bq], built directly — Mosaic cannot legalize
+    tpu.transpose on i1 vectors, so transpose(_seg_ok(...)) fails to lower."""
+    return (k_seg[:, None] == q_seg[None, :]) & (q_seg[None, :] != 0)
+
+
 def _mask(q_seg, k_seg):
     """[bq], [bk] int32 → additive mask [bq, bk] (0 or NEG_INF)."""
-    ok = (q_seg[:, None] == k_seg[None, :]) & (q_seg[:, None] != 0)
-    return jnp.where(ok, 0.0, NEG_INF)
+    return jnp.where(_seg_ok(q_seg, k_seg), 0.0, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
 # forward
 
-def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale, num_kv):
+def _fwd_kernel(*refs, scale, num_kv, masked):
+    # `masked` is a STATIC specialization switch: fully-packed batches (no
+    # segment ids, no padding — the bench/headline shape) skip the segment
+    # loads and the compare/where mask math on every [bq, bk] tile
+    if masked:
+        (qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(3)
 
     q = q_ref[0, 0]  # [bq, D]
     k = k_ref[0, 0]  # [bk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    s = s + _mask(qseg_ref[0, 0], kseg_ref[0, 0])
+    if masked:
+        ok = _seg_ok(qseg_ref[0, 0], kseg_ref[0, 0])
+        s = s + jnp.where(ok, 0.0, NEG_INF)
+
+    def _p(x):
+        # zero masked entries EXPLICITLY: for a fully-masked row every s is
+        # raw + NEG_INF, which f32 rounds to exactly NEG_INF (the ±O(10) raw
+        # score is below the ulp at 1e30), so exp(s - m) = exp(0) = 1 — the
+        # additive mask alone cannot zero those rows
+        return jnp.where(ok, jnp.exp(x), 0.0) if masked else jnp.exp(x)
+
+    def _safe(l):
+        # fully-masked row → l == 0 → output 0 (not 1/0)
+        return jnp.where(l == 0.0, 1.0, l) if masked else l
 
     if num_kv == 1:
         # single K pass (the auto-tuned common case): plain softmax, no
         # online-rescale scratch round trips
         m = jnp.max(s, axis=-1)
-        p = jnp.exp(s - m[:, None])
+        p = _p(s - m[:, None])
         l = jnp.sum(p, axis=-1)
+        l_safe = _safe(l)
         acc = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0, 0],
                           preferred_element_type=jnp.float32)
-        o_ref[0, 0] = (acc * (1.0 / l)[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, 0] = m + jnp.log(l)
+        o_ref[0, 0] = (acc * (1.0 / l_safe)[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = m + jnp.log(l_safe)
         return
 
     @pl.when(j == 0)
@@ -108,7 +139,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_prev = m_scr[:, 0]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new[:, None])
+    p = _p(s - m_new[:, None])
     l_new = alpha * l_scr[:, 0] + jnp.sum(p, axis=-1)
 
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot(
@@ -118,9 +149,9 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(j == num_kv - 1)
     def _():
-        l = l_scr[:, 0]
-        o_ref[0, 0] = (acc_scr[:] * (1.0 / l)[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, 0] = m_scr[:, 0] + jnp.log(l)
+        l_safe = _safe(l_scr[:, 0])
+        o_ref[0, 0] = (acc_scr[:] * (1.0 / l_safe)[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = m_scr[:, 0] + jnp.log(l_safe)
 
 
 def _fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
@@ -128,12 +159,16 @@ def _fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     grid = (b, h, nq, nk)
+    masked = q_seg is not None
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i, j: (b_, 0, i)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, i, j: (b_, 0, j)),
+    ] if masked else []
+    seg_args = (q_seg, kv_seg) if masked else ()
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, num_kv=nk),
+        functools.partial(_fwd_kernel, scale=scale, num_kv=nk, masked=masked),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i, j: (b_, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, h_, i, j: (b_, 0, j)),
+        in_specs=seg_specs + [
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
@@ -155,15 +190,19 @@ def _fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_seg, kv_seg, q, k, v)
+    )(*seg_args, q, k, v)
     return out, lse
 
 
 # ---------------------------------------------------------------------------
 # backward
 
-def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_scr, *, scale, num_kv):
+def _dq_kernel(*refs, scale, num_kv, masked):
+    if masked:
+        (qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr = refs
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -176,8 +215,14 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
     do = do_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    s = s + _mask(qseg_ref[0, 0], kseg_ref[0, 0])
+    # recompute p against the stored lse; when masked, the where() zeroes
+    # masked entries and ESPECIALLY fully-masked rows, where s ≡ NEG_INF ≡
+    # lse in f32 would give exp(0) = 1 garbage that leaks into dq (and, via
+    # the dkv kernel, into VALID keys' dk/dv whenever the incoming cotangent
+    # is nonzero on padded rows)
     p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # [bq, bk]
+    if masked:
+        p = jnp.where(_seg_ok(qseg_ref[0, 0], kseg_ref[0, 0]), p, 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta_ref[0, 0, 0][:, None]) * scale
@@ -188,8 +233,13 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, num_q):
+def _dkv_kernel(*refs, scale, num_q, masked):
+    if masked:
+        (qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
     i = pl.program_id(3)
 
     @pl.when(i == 0)
@@ -204,8 +254,10 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
     # s_T: [bk, bq]
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale
-    s_t = s_t + jnp.transpose(_mask(qseg_ref[0, 0], kseg_ref[0, 0]))
     p_t = jnp.exp(s_t - lse_ref[0, 0, 0][None, :])  # [bk, bq]
+    if masked:
+        # zeroes masked entries AND fully-masked q columns (see _dq_kernel)
+        p_t = jnp.where(_seg_ok_t(qseg_ref[0, 0], kseg_ref[0, 0]), p_t, 0.0)
     dv_scr[:] += jax.lax.dot(p_t.astype(do.dtype), do, preferred_element_type=jnp.float32)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [bk, bq]
@@ -225,12 +277,17 @@ def _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, block_k):
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, :, None, :]  # [B,H,1,Sq]
 
+    masked = q_seg is not None
+    seg_args = (q_seg, kv_seg) if masked else ()
+
+    dq_seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i, j: (b_, 0, i)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, i, j: (b_, 0, j)),
+    ] if masked else []
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, num_kv=nk),
+        functools.partial(_dq_kernel, scale=scale, num_kv=nk, masked=masked),
         grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i, j: (b_, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, h_, i, j: (b_, 0, j)),
+        in_specs=dq_seg_specs + [
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
@@ -245,14 +302,16 @@ def _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_seg, kv_seg, q, k, v, do, lse, delta)
+    )(*seg_args, q, k, v, do, lse, delta)
 
+    dkv_seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, j, i: (b_, 0, i)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, j, i: (b_, 0, j)),
+    ] if masked else []
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, num_q=nq),
+        functools.partial(_dkv_kernel, scale=scale, num_q=nq, masked=masked),
         grid=(b, h, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, j, i: (b_, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, h_, j, i: (b_, 0, j)),
+        in_specs=dkv_seg_specs + [
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, j, i: (b_, h_, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j, i: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j, i: (b_, h_, j, 0)),
@@ -276,7 +335,7 @@ def _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_seg, kv_seg, q, k, v, do, lse, delta)
+    )(*seg_args, q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
@@ -369,23 +428,31 @@ def flash_attention(q, k, v, segment_ids=None, kv_segment_ids=None, scale=None,
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
-    if segment_ids is None:
-        segment_ids = jnp.ones((b, sq), jnp.int32)
-    kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+    unmasked = segment_ids is None and kv_segment_ids is None
     block_q = (_auto_block(sq, BLOCK_Q_TARGET) if block_q is None
                else min(block_q, max(sq, 128)))
     block_k = (_auto_block(sk, BLOCK_K_CAP) if block_k is None
                else min(block_k, max(sk, 128)))
-
     pq, pk = _pad_len(sq, block_q), _pad_len(sk, block_k)
+
     qt = checkpoint_name(
         jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_q")
     kt = checkpoint_name(
         jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_k")
     vt = checkpoint_name(
         jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3), "flash_v")
-    qs = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
-    ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
+    if unmasked and pk == 0:
+        # fully-packed, block-aligned K (the headline shape): the unmasked
+        # kernel specialization skips segment loads and all mask math.
+        # q-side padding (pq > 0) is harmless without a mask — padded rows
+        # attend to real keys, produce finite garbage, and are sliced off.
+        qs = ks = None
+    else:
+        seg = (jnp.ones((b, sq), jnp.int32) if segment_ids is None
+               else segment_ids)
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else seg
+        qs = jnp.pad(seg.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
+        ks = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
 
     out = _flash(qt, kt, vt, qs, ks, scale, block_q, block_k)
     return out.transpose(0, 2, 1, 3)[:, :sq]

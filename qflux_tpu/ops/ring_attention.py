@@ -99,7 +99,9 @@ def _ring_fwd(q, k, v, q_seg, axis_name, scale):
         s = _hop_scores(q, k_cur, q_seg, seg_cur, scale)
         m_new = jnp.maximum(m, s.max(axis=-1))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[..., None])
+        # fully-masked rows have s ≡ m_new ≡ NEG_INF in f32 (the raw score is
+        # below the ulp at 1e30), so exp(s - m_new) = 1 — zero them explicitly
+        p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_new[..., None]), 0.0)
         l = alpha * l + p.sum(axis=-1)
         pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v_cur.dtype), v_cur,
                         preferred_element_type=jnp.float32)
@@ -173,7 +175,9 @@ def _ring_vjp_bwd(axis_name, scale, res, do):
     def hop(carry, _):
         k_cur, v_cur, seg_cur, dk_cur, dv_cur, dq = carry
         s = _hop_scores(q, k_cur, q_seg, seg_cur, scale)
-        p = jnp.exp(s - lse[..., None])                    # [B,H,Q,K] recompute
+        # recompute against the global lse; zero masked entries explicitly —
+        # for fully-masked rows s ≡ lse ≡ NEG_INF in f32 gives exp(0) = 1
+        p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - lse[..., None]), 0.0)
         dp = jnp.einsum("bqhd,bkhd->bhqk", do_t, v_cur.astype(jnp.float32))
         ds = p * (dp - delta[..., None]) * scale
         dq = dq + jnp.einsum("bhqk,bkhd->bhqd", ds.astype(k_cur.dtype), k_cur,

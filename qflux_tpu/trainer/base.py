@@ -646,8 +646,9 @@ class Trainer:
             # standalone inference with a trained LoRA (reference setup_predict,
             # base_trainer.py:691-714)
             lora = self.build_lora()
-            opt = self.build_optimizer()
-            self.state = TrainState.create(lora, opt)
+            # inference needs no optimizer state — identity keeps TrainState's
+            # shape without allocating adam moments or running plugin optimizers
+            self.state = TrainState.create(lora, optax.identity())
         imgs = images if isinstance(images, list) else [images]
         imgs = [np.asarray(im) for im in imgs]
         proc = self.config.data.processor

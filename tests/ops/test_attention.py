@@ -67,6 +67,44 @@ def test_flash_gradients_match_xla():
                                    err_msg=f"d{name} mismatch")
 
 
+def test_masked_rows_zero_and_grads_clean_without_cotangent_masking():
+    """Regression (found on-chip, round 3): with real padding (segment id 0
+    on live rows) and an UNMASKED loss — nonzero cotangents on padded rows —
+    the backward recompute p = exp(s - lse) used to give p = 1 across
+    fully-masked rows (s ≡ lse ≡ NEG_INF in f32), a ~S× overweight that
+    leaked into dk/dv of VALID keys. Both impls must now (a) output exactly
+    0 on fully-masked rows, (b) produce matching grads everywhere even when
+    the caller does NOT zero padded-row cotangents."""
+    key = jax.random.PRNGKey(5)
+    q, k, v = _rand_qkv(key, 1, 256, 2, 64)
+    do = jax.random.normal(jax.random.PRNGKey(6), q.shape, q.dtype)
+    seg = np.ones((1, 256), np.int32)
+    seg[0, 239:] = 0  # real (non-block-aligned) padding
+    seg = jnp.asarray(seg)
+
+    out_f = flash_attention(q, k, v, segment_ids=seg, block_q=128, block_k=128)
+    out_r = sdpa_reference(q, k, v, segment_ids=seg)
+    pad = np.asarray(seg)[0] == 0
+    assert np.all(np.asarray(out_f)[:, pad] == 0.0), "flash padded rows must be 0"
+    assert np.all(np.asarray(out_r)[:, pad] == 0.0), "sdpa padded rows must be 0"
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
+
+    def loss(fn):
+        # deliberately NO (seg != 0) factor on the output
+        return lambda q_, k_, v_: jnp.sum(
+            fn(q_, k_, v_, segment_ids=seg) * do)
+
+    g_f = jax.grad(loss(lambda *a, **kw: flash_attention(
+        *a, block_q=128, block_k=128, **kw)), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss(sdpa_reference), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+        assert np.isfinite(np.asarray(gf)).all()
+    # grads w.r.t. padded q rows are exactly zero (their output is constant 0)
+    assert np.all(np.asarray(g_f[0])[:, pad] == 0.0)
+
+
 def test_flash_bf16_close():
     q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 256, 2, 64, dtype=jnp.bfloat16)
     out = flash_attention(q, k, v, block_q=128, block_k=128)

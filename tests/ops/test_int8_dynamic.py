@@ -162,3 +162,16 @@ def test_w4a8_dense_dispatch():
     assert np.isfinite(np.asarray(y)).all()
     lora = build_lora_tree(k, tree, [r"attn/to_q"], rank=4, alpha=4)
     assert lora["attn"]["to_q"]["a"].shape == (128, 4)
+
+
+@pytest.mark.slow
+def test_quant_quality_three_way_tiny():
+    """Round 3 (VERDICT #2): same LoRA fit over bf16 / W8A8 / W4A8 bases —
+    quantized tails must track the bf16 tail (scripts/quant_quality.py is
+    the bench-width version; this runs the tiny width in CI)."""
+    from scripts.quant_quality import run
+
+    res = run(width="tiny", steps=60, grid=8, txt_len=32, lr=1e-3)
+    tails = res["tail_loss"]
+    assert tails["w8a8_dynamic"] <= tails["bf16"] * 1.15 + 5e-3, tails
+    assert tails["w4a8_requant"] <= tails["bf16"] * 1.25 + 5e-3, tails
