@@ -49,10 +49,6 @@ def _synthetic_int8_params(cfg):
                             jax.random.PRNGKey(0))
     counter = [0]
 
-    def _key():
-        counter[0] += 1
-        return jax.random.PRNGKey(counter[0])
-
     def build(node, name=""):
         if isinstance(node, dict):
             if "kernel" in node and not isinstance(node["kernel"], dict):
@@ -60,8 +56,10 @@ def _synthetic_int8_params(cfg):
                 if k.ndim >= 2:
                     out = {kk: jnp.zeros(v.shape, jnp.bfloat16)
                            for kk, v in node.items() if kk != "kernel"}
+                    counter[0] += 1
                     out["kernel_q"] = jax.random.randint(
-                        _key(), k.shape, -127, 128, jnp.int8)
+                        jax.random.PRNGKey(counter[0]), k.shape, -127, 128,
+                        jnp.int8)
                     # uniform int8 has std ≈ 73; want weight std ≈ 1/√fan_in
                     scale = 1.0 / (73.0 * max(k.shape[-2], 1) ** 0.5)
                     out["kernel_scale"] = jnp.full(
@@ -72,7 +70,11 @@ def _synthetic_int8_params(cfg):
             return jnp.ones(node.shape, jnp.bfloat16)
         return jnp.zeros(node.shape, jnp.bfloat16)
 
-    return build(shapes)
+    # ONE jitted program: eagerly dispatching ~300 randint calls through the
+    # async device tunnel piles up their uint32 temporaries faster than they
+    # free (observed ResourceExhausted on the 16 GB chip); under jit, XLA's
+    # buffer assignment reuses the scratch across kernels
+    return jax.jit(lambda: build(shapes))()
 
 
 def _w8a8_params(int8_params):

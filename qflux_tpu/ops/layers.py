@@ -112,7 +112,15 @@ def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
             return int4_matmul(x, q4, p["kernel_scale"])
         kernel = dequantize_kernel_int4(q4, p["kernel_scale"], x.dtype)
     elif "kernel_q" in p:
-        kernel = (p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
+        q = p["kernel_q"]
+        if q.ndim == 2:
+            # custom-VJP weight-only GEMM: folds the per-output-channel scale
+            # into the cotangent instead of letting AD build a transposed
+            # dequant (the weight-only compile hog — see ops/quant.wo_matmul)
+            from qflux_tpu.ops.quant import wo_matmul
+
+            return wo_matmul(x, q, p["kernel_scale"][..., 0, :])
+        kernel = (q.astype(jnp.float32) * p["kernel_scale"]).astype(x.dtype)
     else:
         kernel = p["kernel"].astype(x.dtype)
     return jnp.dot(x, kernel, preferred_element_type=jnp.float32)

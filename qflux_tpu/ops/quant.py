@@ -92,6 +92,53 @@ def dequantize_kernel(q, scale, dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# weight-only matmul with a custom VJP. Without it, AD differentiates through
+# the inline dequant, so dx = g @ dequant(q, scale)ᵀ makes XLA fuse a
+# TRANSPOSED per-channel-scaled dequant into every dx GEMM — measured as the
+# compile hog of the weight-only variant (522 s vs 19 s for the W8A8 program,
+# BENCH r3). Folding the per-output-channel scale into the cotangent first
+# (it is constant along the contracted axis) leaves a plain cast-GEMM.
+
+def _wo_fwd_raw(x, q, w_scale_vec):
+    kernel = (q.astype(jnp.float32) * w_scale_vec.astype(jnp.float32)).astype(x.dtype)
+    return jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def wo_matmul(x, q, w_scale_vec):
+    """y = x @ (q·s): weight-only dequant GEMM (int8 or fp8 q).
+    x: [..., K] float; q: [K, N]; w_scale_vec: [N] per-output-channel scales.
+    Frozen weights: no dW; dx = (g·s) @ qᵀ (scale folded into the cotangent)."""
+    return _wo_fwd_raw(x, q, w_scale_vec)
+
+
+def _wo_vjp_fwd(x, q, w_scale_vec):
+    # zero-length carrier: residuals must be JAX types, so the activation
+    # dtype rides along as an empty array of that dtype
+    return (_wo_fwd_raw(x, q, w_scale_vec),
+            (q, w_scale_vec, jnp.zeros((0,), x.dtype)))
+
+
+def _wo_vjp_bwd(res, g):
+    q, w_scale_vec, x_proto = res
+    x_dtype = x_proto.dtype
+    # scale the cotangent in f32, then run the dx GEMM in the activation dtype
+    # (bf16 on the MXU); dx MUST come back as x.dtype — a f32 cotangent for a
+    # bf16 primal breaks upstream transpose rules (lax.mul dtype mismatch)
+    gs = (g.astype(jnp.float32)
+          * w_scale_vec.astype(jnp.float32)).astype(x_dtype)
+    dx = jax.lax.dot_general(gs, q.astype(x_dtype),
+                             (((gs.ndim - 1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    q_ct = (np.zeros(q.shape, jax.dtypes.float0)
+            if jnp.issubdtype(q.dtype, jnp.integer) else jnp.zeros_like(q))
+    return dx.astype(x_dtype), q_ct, jnp.zeros_like(w_scale_vec)
+
+
+wo_matmul.defvjp(_wo_vjp_fwd, _wo_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # W8A8-dynamic: int8×int8 on the MXU (v5e: 394 int8 TOPS vs 197 bf16 TFLOPs)
 
 def _rowquant(x):

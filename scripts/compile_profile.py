@@ -49,19 +49,23 @@ def main():
     from bench import _synthetic_int8_params, _w8a8_params
 
     on_tpu = jax.default_backend() == "tpu"
+    abstract = kv.get("abstract") == "1"
     cfg = {"full": flux.FluxConfig, "bench": flux.FluxConfig.bench,
            "tiny": flux.FluxConfig.tiny}[width]()
-    if on_tpu and width == "full":
-        params = _synthetic_int8_params(cfg)
-        if quant == "w8a8":
-            params = _w8a8_params(params)
+    if width == "full" and (on_tpu or abstract):
+        def _params():
+            p = _synthetic_int8_params(cfg)
+            return _w8a8_params(p) if quant == "w8a8" else p
+        # abstract mode never materializes the 12 GB tree
+        params = jax.eval_shape(_params) if abstract else _params()
         grid, txt_len = 32, 512
     else:
         params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         grid, txt_len = 8, 32
 
     adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=True,
-                                 remat_policy=policy if on_tpu else "dots")
+                                 remat_policy=policy if (on_tpu or abstract)
+                                 else "dots")
     opt = optax.adamw(1e-4)
     step = make_train_step(adapter.predict_velocity, MseLoss(), opt,
                            TrainStepConfig())
@@ -73,13 +77,41 @@ def main():
     state = TrainState.create(lora, opt)
     rng = jax.random.PRNGKey(0)
 
+    if abstract:
+        # trace+lower only, from ShapeDtypeStructs — measures the HOST side
+        # (tracing + StableHLO emission) without allocating the 12 GB tree
+        # or paying the backend compile; runs anywhere
+        sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (state, params, batch, rng))
+        t0 = time.perf_counter()
+        lowered = jax.jit(step).lower(*sds)
+        t_lower = time.perf_counter() - t0
+        hlo_bytes = len(lowered.as_text("stablehlo"))
+        print(f"policy={policy} width={width} quant={quant} ABSTRACT")
+        print(f"trace+lower: {t_lower:8.1f} s   stablehlo: {hlo_bytes/1e6:.1f} MB")
+        return
+
     t0 = time.perf_counter()
     lowered = jax.jit(step).lower(state, params, batch, rng)
     t_lower = time.perf_counter() - t0
     hlo_bytes = len(lowered.as_text("stablehlo"))
 
+    # optional XLA compiler options (ride the per-program compile request, so
+    # they reach the remote compile helper unlike env XLA_FLAGS), e.g.
+    #   copts=xla_tpu_exec_time_optimization_effort:-1.0,xla_memory_fitting_effort:0.0
+    copts = {}
+    for pair in filter(None, kv.get("copts", "").split(",")):
+        ck, cv = pair.split(":", 1)
+        for cast in (int, float):
+            try:
+                cv = cast(cv)
+                break
+            except ValueError:
+                continue
+        copts[ck] = cv
     t0 = time.perf_counter()
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=copts or None)
     t_compile = time.perf_counter() - t0
 
     mem = compiled.memory_analysis()
