@@ -66,16 +66,23 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
     Quantized form: {kernel_q int8/fp8, kernel_scale} (ops/quant.py) is
     dequantized inline — XLA fuses the scale multiply into the matmul."""
     y = _base_matmul(p, x)
+    # epilogue adds run in y's dtype: the unquantized path carries f32 out of
+    # the MXU (preferred_element_type) so bias/LoRA still add in f32 there,
+    # but the quantized paths already rescaled+cast to x.dtype — upcasting
+    # them back to f32 made XLA materialize a full-width f32 copy of every
+    # GEMM output to HBM (measured 2× write+read traffic per projection;
+    # docs/PERF.md round-3 trace)
     if "lora" in p:
         la, lb = p["lora"]["a"], p["lora"]["b"]
         scaling = p["lora"].get("scaling", 1.0)
-        y = y + jnp.dot(
+        delta = jnp.dot(
             jnp.dot(x, la.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
             lb.astype(x.dtype),
             preferred_element_type=jnp.float32,
         ) * (scaling * lora_scale)
+        y = y + delta.astype(y.dtype)
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
+        y = y + p["bias"].astype(y.dtype)
     return y.astype(x.dtype)
 
 

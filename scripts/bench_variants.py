@@ -256,7 +256,9 @@ def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
 
 
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
-                gh: int = 32, gw: int = 32):
+                gh: int = 32, gw: int = 32, part: str = "step"):
+    """part: step (train step) | fwd (loss value only) | grad (value_and_grad,
+    no optimizer) — the decomposition knob for locating step time."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -300,6 +302,31 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
                          dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
+    if part in ("fwd", "grad"):
+        from qflux_tpu.trainer.train_step import (TrainStepConfig as _TSC,
+                                                  _loss_for_microbatch)
+
+        def _loss(lora_, params_, batch_, rng_):
+            return _loss_for_microbatch(params_, lora_, batch_, rng_,
+                                        adapter.predict_velocity, MseLoss(),
+                                        _TSC())
+
+        fn = jax.jit(_loss if part == "fwd"
+                     else lambda l, p, b, r: jax.value_and_grad(_loss)(l, p, b, r))
+
+        t_c = time.perf_counter()
+        out = fn(lora, params, batch, rng)
+        _ = float(out[0] if part == "grad" else out)
+        compile_s = time.perf_counter() - t_c
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(lora, params, batch, rng)
+        _ = float(out[0] if part == "grad" else out)
+        dt = (time.perf_counter() - t0) / n_iters
+        print(f"variant policy={policy:8s} bs={bs} attn={attn:6s} part={part}: "
+              f"{dt*1e3:7.1f} ms  (compile {compile_s:.0f}s)", flush=True)
+        return
+
     t_c = time.perf_counter()
     try:
         state, m = step(state, params, batch, rng)
@@ -322,6 +349,11 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
 
 if __name__ == "__main__":
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin registers at discovery and ignores the env var;
+        # honor an explicit cpu request (same dance as bench.py)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     policies = [a for a in sys.argv[1:] if "=" not in a] or ["full", "flash"]
     if kv.get("mode") == "qwen_inference":
         run_qwen_inference(kv.get("quant", "requant"),
@@ -338,4 +370,5 @@ if __name__ == "__main__":
         else:
             run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
                         kv.get("layers", "full"), int(kv.get("iters", 8)),
-                        int(kv.get("gh", 32)), int(kv.get("gw", 32)))
+                        int(kv.get("gh", 32)), int(kv.get("gw", 32)),
+                        kv.get("part", "step"))
