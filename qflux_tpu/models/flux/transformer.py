@@ -143,7 +143,16 @@ def _single_block_init(key, cfg: FluxConfig, dtype):
             "norm_k": _qk_scale(dh, dtype),
         },
         "proj_mlp": dense_init(ks[4], dim, hidden, dtype=dtype),
-        "proj_out": dense_init(ks[5], dim + hidden, dim, dtype=dtype),
+        # proj_out is SPLIT into the attention-input and MLP-input partial
+        # GEMMs (y = o@W[:d] + mlp@W[d:], bias on the attn part): the fused
+        # [S,5d] concat forced XLA to materialize (and remat-duplicate) a
+        # 78 MB intermediate plus its dx twin in backward — measured 46 ms/
+        # step of duplicated GEMM work at 512² (docs/PERF.md round 3).
+        # Port-time split of the stacked weights keeps scan windowing intact
+        # (in-graph slicing of scan-carried weights measured 23× slower).
+        "proj_out": dense_init(ks[5], dim, dim, dtype=dtype),
+        "proj_out_mlp": {"kernel": dense_init(ks[5], hidden, dim,
+                                              dtype=dtype)["kernel"]},
     }
 
 
@@ -255,7 +264,12 @@ def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl, mlp_save=False):
     o = o.reshape(o.shape[0], o.shape[1], -1)
 
     mlp = _mlp_hidden(p["proj_mlp"], x_n, mlp_save)
-    out = dense(p["proj_out"], jnp.concatenate([o, mlp], axis=-1))
+    if "proj_out_mlp" in p:
+        # split partial GEMMs (see init): same math as the concat GEMM —
+        # o@W[:d] + mlp@W[d:] — without the [S, d+hidden] intermediate
+        out = dense(p["proj_out"], o) + dense(p["proj_out_mlp"], mlp)
+    else:  # legacy fused layout (pre-split checkpoints)
+        out = dense(p["proj_out"], jnp.concatenate([o, mlp], axis=-1))
     return x + gate[:, None, :].astype(x.dtype) * out
 
 

@@ -78,6 +78,20 @@ def _lin_nobias(sd, name, dtype=np.float32) -> dict:
     return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T).astype(dtype)}
 
 
+def _split_single_proj_out(lin: dict) -> dict:
+    """FLUX single-block proj_out [d+hidden, d] → two partial GEMMs
+    (models/flux/transformer._single_block): `proj_out` takes the attention
+    rows [:d] (+ bias), `proj_out_mlp` the MLP rows [d:].  d is the output
+    width — proj_out maps (d attn ‖ hidden mlp) → d."""
+    k = lin["kernel"]
+    d = k.shape[-1]
+    out = {"proj_out": {"kernel": np.ascontiguousarray(k[:d])},
+           "proj_out_mlp": {"kernel": np.ascontiguousarray(k[d:])}}
+    if "bias" in lin:
+        out["proj_out"]["bias"] = lin["bias"]
+    return out
+
+
 def _conv(sd, name, dtype=np.float32) -> dict:
     # OIHW → HWIO
     return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0)).astype(dtype),
@@ -165,7 +179,7 @@ def convert_flux_transformer(sd: Mapping[str, np.ndarray], num_layers=19,
                 "norm_k": _permute_qk_scale(_scale(sd, f"{b}.attn.norm_k", dtype), head_dim),
             },
             "proj_mlp": _lin(sd, f"{b}.proj_mlp", dtype),
-            "proj_out": _lin(sd, f"{b}.proj_out", dtype),
+            **_split_single_proj_out(_lin(sd, f"{b}.proj_out", dtype)),
         })
     p["dual"] = _stack(duals)
     p["single"] = _stack(singles)

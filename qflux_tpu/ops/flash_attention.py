@@ -40,6 +40,21 @@ BLOCK_K_CAP = 4096
 # dk/dv accumulators); Mosaic fails to compile them at block_k=4096 on v5e
 # while 3968 works (probed boundary) — the BACKWARD re-chunks K under this cap
 BLOCK_K_CAP_BWD = 3968
+# merged dq+dk+dv single-kernel backward: live VMEM ≈ 8·bq·bk (s + ds, f32)
+# + 8·bk·d (dk/dv f32 accumulators) + 8·bk·d (k/v tiles + dk/dv out, bf16)
+# + O(bq·d). Gate on this estimate against a conservative budget of the
+# ~16 MB/core VMEM so Mosaic never sees an unallocatable kernel.
+MERGED_BWD_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _merged_bwd_block_q(bk: int, d: int) -> int | None:
+    """Largest block_q in {256, 128} whose merged-backward VMEM estimate fits
+    the budget, or None if even 128 does not fit (→ split kernels)."""
+    for bq in (256, 128):
+        est = 8 * bq * bk + 16 * bk * d + 8 * bq * d
+        if est <= MERGED_BWD_VMEM_BUDGET:
+            return bq
+    return None
 
 
 def _bwd_block_k(sk: int) -> int:
@@ -270,13 +285,116 @@ def _dkv_kernel(*refs, scale, num_q, masked):
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _dqdkv_kernel(*refs, scale, num_q, masked):
+    """Merged backward: one pass per q block with the WHOLE K in VMEM.
+
+    Computes s and p once (the split kernels each recompute them — 7 GEMMs
+    across dq+dkv vs the minimal 5 here) and streams q/k/v/do from HBM once
+    instead of twice.  dq is written per q block; dk/dv accumulate in f32
+    scratch across the q loop and are emitted on the last step.  Only valid
+    when K fits a single block (num_kv == 1) — `_bwd` falls back to the
+    split kernels otherwise.
+    """
+    if masked:
+        (qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    # delta computed on the fly from the saved forward output — the external
+    # [B,H,S] reduce was a measured ~0.3 ms/block HBM round trip
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+                    axis=-1)  # [bq]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # [bq, bk]
+    if masked:
+        # zeroes masked entries AND fully-masked rows (see _dq_kernel)
+        p = jnp.where(_seg_ok(qseg_ref[0, 0], kseg_ref[0, 0]), p, 0.0)
+    # dv += pᵀ @ do — contract the bq dims directly (no transpose op)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = ((p * (dp - delta[:, None])) * scale).astype(k.dtype)
+    dq_ref[0, 0] = jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_q - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_merged(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    nq = sq // block_q
+    masked = q_seg is not None
+    seg_args = (q_seg, kv_seg) if masked else ()
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, 0, i)),
+        pl.BlockSpec((1, 1, sk), lambda b_, h_, i: (b_, 0, 0)),
+    ] if masked else []
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_dqdkv_kernel, scale=scale, num_q=nq, masked=masked),
+        grid=(b, h, nq),
+        in_specs=seg_specs + [
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i: (b_, h_, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sk, d), jnp.float32),
+            pltpu.VMEM((sk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*seg_args, q, k, v, do, out, lse)
+    return dq, dk, dv
+
+
 def _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, block_k):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    nq, nk = sq // block_q, sk // block_k
+    if block_k == sk:
+        bq_m = _merged_bwd_block_q(sk, d)
+        if bq_m is not None and sq % bq_m == 0:
+            return _bwd_merged(q, k, v, q_seg, kv_seg, out, lse, do, scale,
+                               bq_m)
+
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, :, None, :]  # [B,H,1,Sq]
-
+    nq, nk = sq // block_q, sk // block_k
     masked = q_seg is not None
     seg_args = (q_seg, kv_seg) if masked else ()
 
@@ -365,10 +483,15 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_k):
 
 def _flash_bwd(scale, block_q, block_k, res, do):
     q, k, v, q_seg, kv_seg, out, lse = res
-    # the backward kernels cannot run the forward's full-width K chunk past
-    # BLOCK_K_CAP_BWD — re-chunk only when over the cap (any divisor of the
-    # padded S is valid; explicit smaller blocks are preserved)
-    bk = block_k if block_k <= BLOCK_K_CAP_BWD else _bwd_block_k(k.shape[2])
+    # the split dq/dkv kernels cannot run the forward's full-width K chunk
+    # past BLOCK_K_CAP_BWD — but the merged kernel (smaller live set, taken
+    # by _bwd when block_k == sk and the VMEM estimate fits) can; only
+    # re-chunk when the split path will actually run. Explicit smaller
+    # blocks are preserved either way.
+    sk = k.shape[2]
+    bq_m = _merged_bwd_block_q(sk, q.shape[3]) if block_k == sk else None
+    merged = bq_m is not None and q.shape[2] % bq_m == 0
+    bk = block_k if (merged or block_k <= BLOCK_K_CAP_BWD) else _bwd_block_k(sk)
     dq, dk, dv = _bwd(q, k, v, q_seg, kv_seg, out, lse, do, scale, block_q, bk)
     return dq, dk, dv, None, None
 

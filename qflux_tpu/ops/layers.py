@@ -170,6 +170,12 @@ def merge_lora(base: Params, lora: Optional[Params]) -> Params:
     if lora is None:
         return base
 
+    def _in_dim(node):
+        for key, kdim in (("kernel", -2), ("kernel_q", -2), ("kernel_q_dyn", -2)):
+            if key in node and not isinstance(node[key], dict):
+                return node[key].shape[kdim]
+        return None
+
     def rec(b, l):
         if isinstance(l, dict) and "a" in l and "b" in l and not isinstance(b.get("a"), dict):
             out = dict(b)
@@ -178,7 +184,19 @@ def merge_lora(base: Params, lora: Optional[Params]) -> Params:
         if isinstance(l, dict):
             out = dict(b)
             for k, v in l.items():
-                out[k] = rec(b[k], v)
+                if (k == "proj_out" and "proj_out_mlp" in b
+                        and isinstance(v, dict) and "a" in v
+                        and _in_dim(b[k]) is not None
+                        and v["a"].shape[-2] != _in_dim(b[k])):
+                    # legacy fused single-block proj_out adapter onto the
+                    # split layout: x@A over the concat (o ‖ mlp) equals
+                    # o@A[:d] + mlp@A[d:] — split A's rows, share B
+                    d = _in_dim(b[k])
+                    out[k] = rec(b[k], {**v, "a": v["a"][..., :d, :]})
+                    out["proj_out_mlp"] = rec(
+                        b["proj_out_mlp"], {**v, "a": v["a"][..., d:, :]})
+                else:
+                    out[k] = rec(b[k], v)
             return out
         return b
 

@@ -142,7 +142,12 @@ wo_matmul.defvjp(_wo_vjp_fwd, _wo_vjp_bwd)
 # W8A8-dynamic: int8×int8 on the MXU (v5e: 394 int8 TOPS vs 197 bf16 TFLOPs)
 
 def _rowquant(x):
-    """Dynamic symmetric per-row int8 quantization of the LAST axis."""
+    """Dynamic symmetric per-row int8 quantization of the LAST axis.
+
+    Stays on plain XLA ops ON PURPOSE: a fused Pallas amax+round kernel was
+    measured SLOWER than XLA's own fusions at every model shape
+    (scripts/bench_rowquant.py, docs/PERF.md round 3) — the lane-dim max
+    reduce is already near its practical roofline here."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     s = jnp.maximum(amax / 127.0, 1e-12)

@@ -140,7 +140,7 @@ def mmdit_rules() -> PartitionRules:
         # AdaLN modulation: large [dim, 6*dim] projections
         (r".*mod[^/]*/kernel", P("fsdp", "tp")),
         # embedders / output heads
-        (r".*(img_in|txt_in|x_embedder|context_embedder|proj_out|final_proj)/kernel", P("fsdp")),
+        (r".*(img_in|txt_in|x_embedder|context_embedder|proj_out(_mlp)?|final_proj)/kernel", P("fsdp")),
         (r".*(time|guidance|text)_embed.*/kernel", P("fsdp")),
         # norms scales / biases: replicate
         (r".*(norm|scale|shift).*", P()),

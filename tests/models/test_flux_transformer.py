@@ -112,3 +112,59 @@ def test_fuse_lora_equals_merged(tiny):
     fused_out = flux.forward(fuse_lora(params, lora), cfg, img, txt, pooled, t,
                              img_ids, txt_ids, guidance=g, remat=False)
     np.testing.assert_allclose(np.asarray(merged_out), np.asarray(fused_out), atol=5e-3)
+
+
+def test_split_proj_out_matches_legacy_fused(tiny):
+    """The single-block proj_out split (init stores proj_out + proj_out_mlp;
+    round-3 perf change) must compute exactly what the legacy fused concat
+    GEMM computes, and the forward must still accept legacy trees."""
+    cfg, params = tiny
+    assert "proj_out_mlp" in params["single"]
+
+    def fuse(tree):
+        single = dict(tree["single"])
+        po, pm = single.pop("proj_out"), single.pop("proj_out_mlp")
+        single["proj_out"] = {
+            "kernel": jnp.concatenate([po["kernel"], pm["kernel"]], axis=-2),
+            "bias": po["bias"],
+        }
+        return {**tree, "single": single}
+
+    img, txt, pooled, t, g, img_ids, txt_ids = _inputs(cfg)
+    args = (img, txt, pooled, t, img_ids, txt_ids)
+    out_split = flux.forward(params, cfg, *args, guidance=g, remat=False)
+    out_fused = flux.forward(fuse(params), cfg, *args, guidance=g, remat=False)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_fused),
+                               atol=2e-5)
+
+
+def test_merge_lora_splits_legacy_fused_proj_out_adapter(tiny):
+    """A diffusers LoRA trained against the fused single proj_out ([d+hidden,
+    r] A) must land on the split layout as A[:d] → proj_out, A[d:] →
+    proj_out_mlp (same B), and change the output exactly as the fused delta
+    would."""
+    cfg, params = tiny
+    d = params["single"]["proj_out"]["kernel"].shape[-2]
+    hid = params["single"]["proj_out_mlp"]["kernel"].shape[-2]
+    n_single = params["single"]["proj_out"]["kernel"].shape[0]
+    r = 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    fused_a = jax.random.normal(k1, (n_single, d + hid, r)) * 0.1
+    b_mat = jax.random.normal(k2, (n_single, r, d)) * 0.1
+    lora = {"single": {"proj_out": {"a": fused_a, "b": b_mat,
+                                    "scaling": jnp.ones((n_single,))}}}
+    merged = merge_lora(params, lora)
+    assert "lora" in merged["single"]["proj_out"]
+    assert "lora" in merged["single"]["proj_out_mlp"]
+    np.testing.assert_array_equal(
+        np.asarray(merged["single"]["proj_out"]["lora"]["a"]),
+        np.asarray(fused_a[..., :d, :]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["single"]["proj_out_mlp"]["lora"]["a"]),
+        np.asarray(fused_a[..., d:, :]))
+
+    img, txt, pooled, t, g, img_ids, txt_ids = _inputs(cfg)
+    args = (img, txt, pooled, t, img_ids, txt_ids)
+    base = flux.forward(params, cfg, *args, guidance=g, remat=False)
+    with_lora = flux.forward(merged, cfg, *args, guidance=g, remat=False)
+    assert not np.allclose(np.asarray(base), np.asarray(with_lora))

@@ -112,6 +112,45 @@ def test_flash_bf16_close():
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=2e-2)
 
 
+def test_merged_backward_gradients_match_xla():
+    """block_k == S routes the backward through the merged dq+dk+dv kernel
+    (_dqdkv_kernel) — the headline path. Grads must match XLA, masked and
+    unmasked, including nonzero cotangents on padded rows."""
+    from qflux_tpu.ops.flash_attention import _merged_bwd_block_q
+
+    assert _merged_bwd_block_q(256, 64) is not None  # gate really opens
+    key = jax.random.PRNGKey(7)
+    q, k, v = _rand_qkv(key, 2, 256, 2, 64)
+    do = jax.random.normal(jax.random.PRNGKey(8), q.shape, q.dtype)
+    seg = np.ones((2, 256), np.int32)
+    seg[0, 230:] = 0
+    seg[1, :100] = 1
+    seg[1, 100:] = 2
+    seg = jnp.asarray(seg)
+
+    for kw in ({}, {"segment_ids": seg}):
+        g_f = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention(
+            q_, k_, v_, block_q=128, block_k=256, **kw) * do),
+            argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(lambda q_, k_, v_: jnp.sum(
+            sdpa_reference(q_, k_, v_, **kw) * do), argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_f, g_r, "qkv"):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=5e-4, err_msg=f"d{name} mismatch")
+
+
+def test_merged_bwd_block_q_budget():
+    from qflux_tpu.ops.flash_attention import (MERGED_BWD_VMEM_BUDGET,
+                                               _merged_bwd_block_q)
+
+    assert _merged_bwd_block_q(2560, 128) == 256   # headline shape
+    assert _merged_bwd_block_q(4096, 128) == 128   # fits only at bq=128
+    assert _merged_bwd_block_q(8192, 128) is None  # falls back to split
+    for sk in (2560, 4096):
+        bq = _merged_bwd_block_q(sk, 128)
+        assert 8 * bq * sk + 16 * sk * 128 + 8 * bq * 128 <= MERGED_BWD_VMEM_BUDGET
+
+
 def test_bwd_block_k_divides_and_respects_cap():
     """The backward re-chunking rule must always produce a 128-multiple that
     divides the padded sequence and stays under the Mosaic compile boundary
