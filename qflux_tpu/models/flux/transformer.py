@@ -29,9 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
-from qflux_tpu.ops.attention import dot_product_attention
+from qflux_tpu.ops.attention import qk_norm_rope_attention
 from qflux_tpu.ops.layers import dense, dense_init, mlp_init, named_checkpoint
-from qflux_tpu.ops.norms import ada_ln_mods, layer_norm, modulate, rms_norm
+from qflux_tpu.ops.norms import ada_ln_mods, layer_norm, modulate
 from qflux_tpu.ops.rope import rope_from_coords
 
 
@@ -186,19 +186,6 @@ def _heads(x, n_heads):
     return x.reshape(b, s, n_heads, -1)
 
 
-def _apply_rope_heads(x, cos, sin):
-    """x [B,S,H,D]; cos/sin [S,D] or [B,S,D] in rotate-half layout (pairs
-    (j, j+D/2) — lane-aligned on TPU; q/k weights are permuted to this layout
-    at port time, ops/rope.py:interleaved_to_half_perm)."""
-    if cos.ndim == 2:
-        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
-    else:
-        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    h = x.shape[-1] // 2
-    rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
-    return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
-
-
 def _mlp_hidden(p_in, x, mlp_save):
     """MLP up-projection + GELU, optionally with an named remat save point on
     the pre-activation (the 'flash_mlp' policy: backward reuses the saved
@@ -220,20 +207,20 @@ def _dual_block(p, cfg, img, txt, temb, cos, sin, seg, attn_impl, mlp_save=False
     txt_n = modulate(layer_norm(txt), t_shift, t_scale)
 
     a = p["attn"]
-    q_i = rms_norm(_heads(dense(a["to_q"], img_n), n_h), a["norm_q"]["scale"])
-    k_i = rms_norm(_heads(dense(a["to_k"], img_n), n_h), a["norm_k"]["scale"])
-    v_i = _heads(dense(a["to_v"], img_n), n_h)
-    q_t = rms_norm(_heads(dense(a["add_q"], txt_n), n_h), a["norm_added_q"]["scale"])
-    k_t = rms_norm(_heads(dense(a["add_k"], txt_n), n_h), a["norm_added_k"]["scale"])
-    v_t = _heads(dense(a["add_v"], txt_n), n_h)
+    # RAW q/k (pre-norm, pre-rope): qk-RMSNorm + rope run inside the fused
+    # attention path (ops/flash_nr.py) — txt rows (< st) norm with the
+    # norm_added_* scales, img rows with norm_q/norm_k
+    q = jnp.concatenate([_heads(dense(a["add_q"], txt_n), n_h),
+                         _heads(dense(a["to_q"], img_n), n_h)], axis=1)
+    k = jnp.concatenate([_heads(dense(a["add_k"], txt_n), n_h),
+                         _heads(dense(a["to_k"], img_n), n_h)], axis=1)
+    v = jnp.concatenate([_heads(dense(a["add_v"], txt_n), n_h),
+                         _heads(dense(a["to_v"], img_n), n_h)], axis=1)
+    qs2 = jnp.stack([a["norm_added_q"]["scale"], a["norm_q"]["scale"]])
+    ks2 = jnp.stack([a["norm_added_k"]["scale"], a["norm_k"]["scale"]])
 
-    q = jnp.concatenate([q_t, q_i], axis=1)
-    k = jnp.concatenate([k_t, k_i], axis=1)
-    v = jnp.concatenate([v_t, v_i], axis=1)
-    q = _apply_rope_heads(q, cos, sin)
-    k = _apply_rope_heads(k, cos, sin)
-
-    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    o = qk_norm_rope_attention(q, k, v, qs2, ks2, cos, sin, st,
+                               segment_ids=seg, impl=attn_impl)
     o = o.reshape(o.shape[0], o.shape[1], -1)
     txt_attn, img_attn = o[:, :st], o[:, st:]
 
@@ -255,12 +242,14 @@ def _single_block(p, cfg, x, temb, cos, sin, seg, attn_impl, mlp_save=False):
     x_n = modulate(layer_norm(x), shift, scale)
 
     a = p["attn"]
-    q = rms_norm(_heads(dense(a["to_q"], x_n), n_h), a["norm_q"]["scale"])
-    k = rms_norm(_heads(dense(a["to_k"], x_n), n_h), a["norm_k"]["scale"])
+    q = _heads(dense(a["to_q"], x_n), n_h)
+    k = _heads(dense(a["to_k"], x_n), n_h)
     v = _heads(dense(a["to_v"], x_n), n_h)
-    q = _apply_rope_heads(q, cos, sin)
-    k = _apply_rope_heads(k, cos, sin)
-    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    # single-stream: one scale for every row (st=0 → row 1 of the pair)
+    qs2 = jnp.stack([a["norm_q"]["scale"], a["norm_q"]["scale"]])
+    ks2 = jnp.stack([a["norm_k"]["scale"], a["norm_k"]["scale"]])
+    o = qk_norm_rope_attention(q, k, v, qs2, ks2, cos, sin, 0,
+                               segment_ids=seg, impl=attn_impl)
     o = o.reshape(o.shape[0], o.shape[1], -1)
 
     mlp = _mlp_hidden(p["proj_mlp"], x_n, mlp_save)

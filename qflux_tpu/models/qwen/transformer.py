@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from qflux_tpu.models.common.embeddings import mlp_silu, sinusoidal_embedding
-from qflux_tpu.ops.attention import dot_product_attention
+from qflux_tpu.ops.attention import qk_norm_rope_attention
 from qflux_tpu.ops.layers import dense, dense_init, mlp_init, named_checkpoint
 from qflux_tpu.ops.norms import layer_norm, rms_norm
 from qflux_tpu.ops.rope import qwen_rope
@@ -132,15 +132,17 @@ def _heads(x, n):
     return x.reshape(x.shape[0], x.shape[1], n, -1)
 
 
-def _rope_apply(x, cos, sin):
-    """Rotate-half layout (see ops/rope.py) — q/k weights permuted at port."""
-    if cos.ndim == 2:
-        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
-    else:
-        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    h = x.shape[-1] // 2
-    rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
-    return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
+def _joint_tables(txt_cos, txt_sin, vid_cos, vid_sin):
+    """Concatenate per-stream rope tables into joint [S_txt+S_img, D] (or
+    [B, S, D] when either side is per-sample)."""
+    if txt_cos.ndim != vid_cos.ndim:
+        b = (txt_cos.shape[0] if txt_cos.ndim == 3 else vid_cos.shape[0])
+        up = lambda t: (jnp.broadcast_to(t[None], (b,) + t.shape)
+                        if t.ndim == 2 else t)
+        txt_cos, txt_sin = up(txt_cos), up(txt_sin)
+        vid_cos, vid_sin = up(vid_cos), up(vid_sin)
+    return (jnp.concatenate([txt_cos, vid_cos], axis=-2),
+            jnp.concatenate([txt_sin, vid_sin], axis=-2))
 
 
 def _modulate3(x, mod):
@@ -173,23 +175,20 @@ def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg,
     txt_n, txt_gate1 = _modulate3(layer_norm(txt), txt_mod1)
 
     a = p["attn"]
-    q_i = rms_norm(_heads(dense(a["to_q"], img_n), n_h), a["norm_q"]["scale"])
-    k_i = rms_norm(_heads(dense(a["to_k"], img_n), n_h), a["norm_k"]["scale"])
-    v_i = _heads(dense(a["to_v"], img_n), n_h)
-    q_t = rms_norm(_heads(dense(a["add_q"], txt_n), n_h), a["norm_added_q"]["scale"])
-    k_t = rms_norm(_heads(dense(a["add_k"], txt_n), n_h), a["norm_added_k"]["scale"])
-    v_t = _heads(dense(a["add_v"], txt_n), n_h)
-
-    q_i = _rope_apply(q_i, vid_cos, vid_sin)
-    k_i = _rope_apply(k_i, vid_cos, vid_sin)
-    q_t = _rope_apply(q_t, txt_cos, txt_sin)
-    k_t = _rope_apply(k_t, txt_cos, txt_sin)
-
-    # joint order [txt, img] (reference transformer_qwenimage.py:322-325)
-    q = jnp.concatenate([q_t, q_i], axis=1)
-    k = jnp.concatenate([k_t, k_i], axis=1)
-    v = jnp.concatenate([v_t, v_i], axis=1)
-    o = dot_product_attention(q, k, v, segment_ids=seg, impl=attn_impl)
+    # RAW q/k, joint order [txt, img] (reference transformer_qwenimage.py:
+    # 322-325); qk-RMSNorm + rope run inside the fused attention path
+    # (ops/flash_nr.py) with the per-stream scales selected by row < st
+    q = jnp.concatenate([_heads(dense(a["add_q"], txt_n), n_h),
+                         _heads(dense(a["to_q"], img_n), n_h)], axis=1)
+    k = jnp.concatenate([_heads(dense(a["add_k"], txt_n), n_h),
+                         _heads(dense(a["to_k"], img_n), n_h)], axis=1)
+    v = jnp.concatenate([_heads(dense(a["add_v"], txt_n), n_h),
+                         _heads(dense(a["to_v"], img_n), n_h)], axis=1)
+    qs2 = jnp.stack([a["norm_added_q"]["scale"], a["norm_q"]["scale"]])
+    ks2 = jnp.stack([a["norm_added_k"]["scale"], a["norm_k"]["scale"]])
+    cos_j, sin_j = _joint_tables(txt_cos, txt_sin, vid_cos, vid_sin)
+    o = qk_norm_rope_attention(q, k, v, qs2, ks2, cos_j, sin_j, st,
+                               segment_ids=seg, impl=attn_impl)
     o = o.reshape(o.shape[0], o.shape[1], -1)
     txt_attn, img_attn = o[:, :st], o[:, st:]
 

@@ -84,6 +84,38 @@ def _dispatch(q, k, v, segment_ids, impl):
     return sdpa_reference(q, k, v, segment_ids=segment_ids)
 
 
+def qk_norm_rope_attention(q_raw, k_raw, v, q_scale2, k_scale2, cos, sin,
+                           st: int, segment_ids=None, impl: str = "auto"):
+    """qk-RMSNorm + rotate-half RoPE + joint attention over RAW projections.
+
+    On TPU (impl auto/pallas) with a single-K-block shape this fuses the
+    norm and rope into the flash kernels (ops/flash_nr.py — kills the
+    [B,S,H,D] roped-q/k materializations and their backward chains);
+    everywhere else it applies the identical XLA composition and routes
+    through `dot_product_attention` (so ring/sp and the planning stub keep
+    working).  q_scale2/k_scale2: [2, D] — row 0 norms positions < st (txt
+    stream), row 1 the rest; pass the same row twice for single-stream.
+    """
+    from qflux_tpu.ops import flash_nr
+    from qflux_tpu.parallel.mesh import active_mesh
+
+    b, sq, h_, d = q_raw.shape
+    mesh = active_mesh()
+    ring = (impl == "ring"
+            or (impl == "auto" and mesh is not None
+                and mesh.shape.get("sp", 1) > 1))
+    if (impl in ("auto", "pallas") and not ring
+            and jax.default_backend() == "tpu"
+            and flash_nr.supports(sq, k_raw.shape[1], d)):
+        return flash_nr.flash_attention_nr(
+            q_raw, k_raw, v, q_scale2, k_scale2, cos, sin, st,
+            segment_ids=segment_ids)
+    qn = flash_nr.apply_qk_norm_rope(q_raw, q_scale2, cos, sin, st)
+    kn = flash_nr.apply_qk_norm_rope(k_raw, k_scale2, cos, sin, st)
+    return dot_product_attention(qn, kn, v, segment_ids=segment_ids,
+                                 impl=impl)
+
+
 def dot_product_attention(q, k, v, segment_ids=None, impl: str = "auto"):
     """q,k,v: [B, S, H, D]; segment_ids: optional [B, S] int32.
 

@@ -1,0 +1,436 @@
+"""Flash attention with qk-RMSNorm + RoPE fused into the kernels.
+
+The MMDiT attention stack (reference transformer_flux.py attn processor /
+transformer_qwenimage.py:329-337) norms q/k per head (RMSNorm over D) and
+applies rotary embeddings before the SDPA call.  Done in XLA, those chains
+materialize the roped q/k [B,S,H,D] twice per block (forward + remat
+recompute) and run their own backward chains — measured ~40-55 ms/step on
+the 512² headline (docs/PERF.md round 3).  Both ops are row-local over
+D=128, so they fold into the attention kernels at negligible FLOP cost:
+
+  * forward: one kernel computes norm→rope→flash for each q tile, with the
+    normed+roped K built ONCE into VMEM scratch and reused across the whole
+    q loop;
+  * backward: the merged dq/dk/dv kernel (see ops/flash_attention.py)
+    extended with the rope/norm backward — dq_raw/dk_raw leave the kernel,
+    plus per-(b,h) partial gradients for the two norm scales.
+
+Forward numerics match the XLA composition rms_norm → x.dtype cast → rope →
+x.dtype cast EXACTLY (the intermediate casts are reproduced in-kernel).
+Gradients keep f32 through the in-kernel chain (XLA's autodiff rounds the
+cotangent at each cast boundary — the kernel is slightly MORE precise, not
+bit-identical; tests compare against an f32 oracle).
+
+Dual-stream blocks norm the text rows with a different scale than the image
+rows; the kernel takes scale pairs [2, D] and a static row boundary `st`
+(txt length): rows < st use scale[0], the rest scale[1].
+
+Gradients flow to q/k/v and the norm scales; d(cos)/d(sin) are zeros (rope
+tables are positional constants, never trained).
+
+Only available when K fits a single kernel block (the merged-backward
+regime — `supports()`); ops/attention.dot_product_attention falls back to
+the XLA composition otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qflux_tpu.ops.flash_attention import (BLOCK_Q_TARGET, NEG_INF,
+                                           _auto_block, _interpret, _pad_len,
+                                           _seg_ok)
+
+EPS = 1e-6
+# nr-merged backward live set adds the kn bf16 scratch, cos/sin K tiles and
+# the f32 norm temps on top of the plain merged kernel's estimate
+NR_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _nr_block_q(bk: int, d: int) -> int | None:
+    for bq in (256, 128):
+        est = (8 * bq * bk          # s + ds f32
+               + 16 * bk * d        # dk/dv f32 accumulators
+               + 14 * bk * d        # k raw + kn scratch + dkn + cos/sin tiles
+               + 24 * bq * d)       # q tiles + cos/sin q side + temps
+        if est <= NR_VMEM_BUDGET:
+            return bq
+    return None
+
+
+def supports(sq: int, sk: int, d: int) -> bool:
+    """The fused path needs K in ONE kernel block (merged-backward regime)
+    and self-attention (shared rope tables)."""
+    if sq != sk or d % 128 != 0:
+        return False
+    pk = _auto_block(sk, 1 << 30)  # padded sk — the single K block
+    return _nr_block_q(pk, d) is not None
+
+
+def _norm_rope(x, s0, s1, cos, sin, row0, st, out_dtype):
+    """RMSNorm (scale selected by global row index vs st) + rotate-half rope.
+
+    x [rows, D] raw; s0/s1 [D]; cos/sin [rows, D] f32; row0 = global index
+    of x's first row; st = static boundary.  Returns (y [rows,D] out_dtype —
+    feeds the GEMMs, r [rows] f32 and s_sel [rows,D] f32 — feed backward).
+    """
+    rows, d = x.shape
+    h = d // 2
+    xf = x.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1) + EPS)  # [rows]
+    u = xf * r[:, None]
+    sel = (row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)) < st
+    s_sel = jnp.where(sel, s0[None, :].astype(jnp.float32),
+                      s1[None, :].astype(jnp.float32))
+    # the XLA pipeline is rms_norm(...).astype(x.dtype) THEN rope in f32 with
+    # a final x.dtype cast — both intermediate casts reproduced for exact
+    # forward parity
+    us = (u * s_sel).astype(out_dtype).astype(jnp.float32)
+    rot = jnp.concatenate([-us[:, h:], us[:, :h]], axis=1)
+    y = (us * cos + rot * sin).astype(out_dtype)
+    return y, r, s_sel
+
+
+def _rope_bwd(g, cos, sin):
+    """Transpose of y = x*cos + rot(x)*sin, rot(x) = [-x₂, x₁]."""
+    h = g.shape[-1] // 2
+    gs = g * sin
+    return g * cos + jnp.concatenate([gs[:, h:], -gs[:, :h]], axis=1)
+
+
+def _norm_bwd(d_us, r, s_sel, x_raw):
+    """Backward of x → (x·r)·s_sel (the cast's rounding is not part of the
+    gradient chain).  Returns (dx [rows,D] f32, dscale_rows [rows,D] f32)."""
+    xf = x_raw.astype(jnp.float32)
+    u = xf * r[:, None]
+    dscale_rows = d_us * u
+    du = d_us * s_sel
+    dx = r[:, None] * (du - u * jnp.mean(du * u, axis=-1, keepdims=True))
+    return dx, dscale_rows
+
+
+def _two_row_tile(a, b, d):
+    """[D], [D] → [8, D] (rows 0/1 carry the payload — Mosaic-friendly)."""
+    return jnp.concatenate([a[None], b[None],
+                            jnp.zeros((6, d), jnp.float32)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: grid (b, h, nq), single K block
+
+def _fwd_nr_kernel(*refs, scale, st, masked):
+    if masked:
+        (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+         qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+         o_ref, lse_ref, kn_scr) = refs
+    else:
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref,
+         qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+         o_ref, lse_ref, kn_scr) = refs
+    i = pl.program_id(2)
+    bq = q_ref.shape[2]
+    dt = q_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+                              kcos_ref[0], ksin_ref[0], 0, st, dt)
+        kn_scr[...] = kn
+
+    qn, _, _ = _norm_rope(q_ref[0, 0], qs_ref[0], qs_ref[1],
+                          qcos_ref[0], qsin_ref[0], i * bq, st, dt)
+    s = jax.lax.dot_general(qn, kn_scr[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if masked:
+        ok = _seg_ok(qseg_ref[0, 0], kseg_ref[0, 0])
+        s = s + jnp.where(ok, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1)
+    e = s - m[:, None]
+    p = jnp.where(ok, jnp.exp(e), 0.0) if masked else jnp.exp(e)
+    l = jnp.sum(p, axis=-1)
+    l_safe = jnp.where(l == 0.0, 1.0, l) if masked else l
+    acc = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+                      preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc * (1.0 / l_safe)[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = m + jnp.log(l_safe)
+
+
+def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    nq = sq // block_q
+    masked = q_seg is not None
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, 0, i)),
+        pl.BlockSpec((1, 1, sk), lambda b_, h_, i: (b_, 0, 0)),
+    ] if masked else []
+    seg_args = (q_seg, kv_seg) if masked else ()
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_nr_kernel, scale=scale, st=st, masked=masked),
+        grid=(b, h, nq),
+        in_specs=seg_specs + [
+            pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
+            pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i: (b_, h_, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((sk, d), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*seg_args, qs, ks, q, k, v, cos, sin, cos, sin)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# merged backward: dq_raw, dk_raw, dv + norm-scale gradient partials
+
+def _bwd_nr_kernel(*refs, scale, st, num_q, masked):
+    if masked:
+        (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref,
+         o_ref, lse_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+         dq_ref, dk_ref, dv_ref, dqs_ref, dks_ref,
+         kn_scr, dkn_scr, dv_scr, dqs_scr) = refs
+    else:
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref,
+         o_ref, lse_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+         dq_ref, dk_ref, dv_ref, dqs_ref, dks_ref,
+         kn_scr, dkn_scr, dv_scr, dqs_scr) = refs
+    i = pl.program_id(2)
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    dt = q_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+                              kcos_ref[0], ksin_ref[0], 0, st, dt)
+        kn_scr[...] = kn
+        dkn_scr[...] = jnp.zeros_like(dkn_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+        dqs_scr[...] = jnp.zeros_like(dqs_scr)
+
+    qn, q_r, q_ssel = _norm_rope(q_ref[0, 0], qs_ref[0], qs_ref[1],
+                                 qcos_ref[0], qsin_ref[0], i * bq, st, dt)
+    kn = kn_scr[...]
+    do = do_ref[0, 0]
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+                    axis=-1)  # [bq]
+    s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
+    if masked:
+        # zeroes masked entries AND fully-masked rows (see _dq_kernel in
+        # ops/flash_attention.py)
+        p = jnp.where(_seg_ok(qseg_ref[0, 0], kseg_ref[0, 0]), p, 0.0)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = ((p * (dp - delta[:, None])) * scale).astype(dt)
+    # grads w.r.t. the ROPED+NORMED q/k …
+    dqn = jax.lax.dot(ds, kn, preferred_element_type=jnp.float32)
+    dkn_scr[...] += jax.lax.dot_general(
+        ds, qn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # … then back through rope + norm for THIS q tile
+    d_us = _rope_bwd(dqn, qcos_ref[0], qsin_ref[0])
+    dq_raw, dsc_rows = _norm_bwd(d_us, q_r, q_ssel, q_ref[0, 0])
+    dq_ref[0, 0] = dq_raw.astype(dq_ref.dtype)
+    sel = (i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)) < st
+    dqs_scr[...] += _two_row_tile(
+        jnp.sum(jnp.where(sel, dsc_rows, 0.0), axis=0),
+        jnp.sum(jnp.where(sel, 0.0, dsc_rows), axis=0), d)
+
+    @pl.when(i == num_q - 1)
+    def _():
+        # k side ONCE, against the accumulated dkn
+        sk = k_ref.shape[2]
+        _, k_r, k_ssel = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+                                    kcos_ref[0], ksin_ref[0], 0, st, dt)
+        d_usk = _rope_bwd(dkn_scr[...], kcos_ref[0], ksin_ref[0])
+        dk_raw, dsk_rows = _norm_bwd(d_usk, k_r, k_ssel, k_ref[0, 0])
+        dk_ref[0, 0] = dk_raw.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        dqs_ref[0, 0] = dqs_scr[...]
+        ksel = jax.lax.broadcasted_iota(jnp.int32, (sk, 1), 0) < st
+        dks_ref[0, 0] = _two_row_tile(
+            jnp.sum(jnp.where(ksel, dsk_rows, 0.0), axis=0),
+            jnp.sum(jnp.where(ksel, 0.0, dsk_rows), axis=0), d)
+
+
+def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
+            block_q, st):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    nq = sq // block_q
+    masked = q_seg is not None
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, 0, i)),
+        pl.BlockSpec((1, 1, sk), lambda b_, h_, i: (b_, 0, 0)),
+    ] if masked else []
+    seg_args = (q_seg, kv_seg) if masked else ()
+    dq, dk, dv, dqs_p, dks_p = pl.pallas_call(
+        functools.partial(_bwd_nr_kernel, scale=scale, st=st, num_q=nq,
+                          masked=masked),
+        grid=(b, h, nq),
+        in_specs=seg_specs + [
+            pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
+            pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i: (b_, h_, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, 8, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, 8, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 8, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sk, d), q.dtype),        # kn
+            pltpu.VMEM((sk, d), jnp.float32),    # dkn accumulator
+            pltpu.VMEM((sk, d), jnp.float32),    # dv accumulator
+            pltpu.VMEM((8, d), jnp.float32),     # dscale_q partials
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*seg_args, qs, ks, q, k, v, do, out, lse, cos, sin, cos, sin)
+    dqs = jnp.sum(dqs_p[:, :, :2].astype(jnp.float32), axis=(0, 1))  # [2, D]
+    dks = jnp.sum(dks_p[:, :, :2].astype(jnp.float32), axis=(0, 1))
+    return dq, dk, dv, dqs, dks
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def apply_qk_norm_rope(x, scale2, cos, sin, st, eps=EPS):
+    """XLA reference / fallback: per-head RMSNorm (scale2[0] for positions
+    < st, scale2[1] after) then rotate-half rope.  x [B,S,H,D]; cos/sin
+    [S,D] or [B,S,D].  Matches rms_norm → rope exactly, including the
+    intermediate x.dtype casts."""
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    xf = x.astype(jnp.float32)
+    u = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    s_sel = jnp.where(
+        (jnp.arange(x.shape[1]) < st)[None, :, None, None],
+        scale2[0].astype(jnp.float32)[None, None, None, :],
+        scale2[1].astype(jnp.float32)[None, None, None, :])
+    us = (u * s_sel).astype(x.dtype).astype(jnp.float32)
+    h = x.shape[-1] // 2
+    rot = jnp.concatenate([-us[..., h:], us[..., :h]], axis=-1)
+    cb = cos.astype(jnp.float32)[:, :, None, :]
+    sb = sin.astype(jnp.float32)[:, :, None, :]
+    return (us * cb + rot * sb).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _flash_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
+    out, _ = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
+                     block_q, st)
+    return out
+
+
+def _flash_nr_fwd(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q,
+                  st):
+    out, lse = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
+                       block_q, st)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse)
+
+
+def _flash_nr_bwd(scale, block_q, st, res, do):
+    q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse = res
+    dq, dk, dv, dqs, dks = _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg,
+                                   out, lse, do, scale, block_q, st)
+    return (dq, dk, dv, dqs.astype(qs.dtype), dks.astype(ks.dtype),
+            jnp.zeros_like(cos), jnp.zeros_like(sin), None, None)
+
+
+_flash_nr.defvjp(_flash_nr_fwd, _flash_nr_bwd)
+
+
+def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
+                       segment_ids=None, kv_segment_ids=None, scale=None):
+    """Fused qk-RMSNorm + RoPE + flash attention over [B, S, H, D] RAW q/k.
+
+    q_scale2/k_scale2: [2, D] norm scales (row 0 for positions < st, row 1
+    after — dual-stream txt/img; repeat the row for single-stream).
+    cos/sin: [S, D] or [B, S, D] rotate-half tables.
+    st: static txt/img boundary (int; 0 = all rows use scale row 1).
+
+    Equivalent to apply_qk_norm_rope on q and k followed by
+    flash_attention.  Check `supports(sq, sk, d)` before calling.
+    """
+    b, sq, h, d = q.shape
+    assert k.shape[1] == sq, "fused norm+rope path is self-attention only"
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    sk_pad = _auto_block(sq, 1 << 30)
+    bq_m = _nr_block_q(sk_pad, d)
+    assert bq_m is not None, "caller must gate on flash_nr.supports()"
+    block_q = min(_auto_block(sq, BLOCK_Q_TARGET), bq_m)
+    pq = _pad_len(sq, block_q)
+
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = jnp.broadcast_to(cos.astype(jnp.float32), (b, sq, d))
+    sin = jnp.broadcast_to(sin.astype(jnp.float32), (b, sq, d))
+
+    t4 = lambda x: jnp.pad(x, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    t3 = lambda x: jnp.pad(x, ((0, 0), (0, pq), (0, 0)))
+    qt = checkpoint_name(t4(q), "flash_q")
+    kt = checkpoint_name(t4(k), "flash_k")
+    vt = checkpoint_name(t4(v), "flash_v")
+
+    unmasked = segment_ids is None and kv_segment_ids is None
+    if unmasked and pq == 0:
+        qseg = None
+    else:
+        # self-attention: padding must be masked on BOTH sides (padded k
+        # rows would otherwise be attended by real queries)
+        seg = (jnp.ones((b, sq), jnp.int32) if segment_ids is None
+               else segment_ids.astype(jnp.int32))
+        qseg = jnp.pad(seg, ((0, 0), (0, pq)))[:, None, :]
+
+    out = _flash_nr(qt, kt, vt, q_scale2, k_scale2, t3(cos), t3(sin),
+                    qseg, qseg, scale, block_q, st)
+    return out.transpose(0, 2, 1, 3)[:, :sq]

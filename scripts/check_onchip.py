@@ -105,6 +105,45 @@ def main() -> int:
     for name, a, bb in zip(("dq", "dk", "dv"), g_ring, g_ref):
         check(f"ring hop {name}", rel_err(a, bb), 5e-3)
 
+    # fused qk-RMSNorm+RoPE flash kernels (ops/flash_nr.py) vs the XLA
+    # composition — dual-stream scales (st=512), real padding, grads to
+    # q/k/v AND both norm-scale pairs
+    from qflux_tpu.ops import flash_nr
+
+    s, st = 2560, 512
+    assert flash_nr.supports(s, s, d), "headline shape must take the fused path"
+    ks = jax.random.split(jax.random.PRNGKey(21), 8)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.bfloat16)
+    do = jax.random.normal(ks[3], (b, s, h, d), jnp.bfloat16)
+    qs2 = 1.0 + 0.1 * jax.random.normal(ks[4], (2, d), jnp.bfloat16)
+    ks2 = 1.0 + 0.1 * jax.random.normal(ks[5], (2, d), jnp.bfloat16)
+    ang = jax.random.uniform(ks[6], (s, d // 2), jnp.float32, 0, 6.28)
+    cos = jnp.concatenate([jnp.cos(ang)] * 2, -1)
+    sin = jnp.concatenate([jnp.sin(ang)] * 2, -1)
+    seg = (jnp.arange(s)[None, :] < s - 64).astype(jnp.int32)
+
+    def fused(q_, k_, v_, qs_, ks_):
+        return flash_nr.flash_attention_nr(q_, k_, v_, qs_, ks_, cos, sin,
+                                           st, segment_ids=seg)
+
+    def xla(q_, k_, v_, qs_, ks_):
+        qn = flash_nr.apply_qk_norm_rope(q_, qs_, cos, sin, st)
+        kn = flash_nr.apply_qk_norm_rope(k_, ks_, cos, sin, st)
+        return sdpa_reference(qn, kn, v_, segment_ids=seg)
+
+    out_f = jax.jit(fused)(q, k, v, qs2, ks2)
+    out_x = jax.jit(xla)(q, k, v, qs2, ks2)
+    check("flash_nr fwd (st=512, padded)", rel_err(out_f, out_x), 3e-3)
+    gl_nr = lambda fn: jax.jit(jax.grad(
+        lambda *a: (fn(*a).astype(jnp.float32)
+                    * do.astype(jnp.float32)).sum(), argnums=(0, 1, 2, 3, 4)))
+    g_f = gl_nr(fused)(q, k, v, qs2, ks2)
+    g_x = gl_nr(xla)(q, k, v, qs2, ks2)
+    for name, a, bb in zip(("dq", "dk", "dv", "dqscale", "dkscale"), g_f, g_x):
+        check(f"flash_nr {name}", rel_err(a, bb), 5e-3)
+
     # fused int4 matmul vs XLA dequant
     from qflux_tpu.ops.int4_matmul import int4_matmul, supports
     from qflux_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
