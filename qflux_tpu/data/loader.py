@@ -156,7 +156,10 @@ class DataLoader:
                 q.put(e)
             q.put(None)
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # Queue(0) would be UNBOUNDED — the producer would decode the whole
+        # dataset ahead of the consumer. prefetch=0 still needs a 1-slot
+        # hand-off so read-ahead stays bounded at one batch.
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
         while True:

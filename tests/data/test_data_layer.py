@@ -216,17 +216,34 @@ def test_bucket_keys_need_no_decode(tmp_image_dir, monkeypatch):
     whole dataset."""
     proc = ImageProcessor(ProcessorSection(process_type="resize", target_size=[64, 96]))
     ds = ImageDataset(dataset_path=str(tmp_image_dir), processor=proc)
+    import threading
+
     calls = []
+    gate = threading.Event()  # holds decodes of samples >= 1
     orig = ImageDataset.__getitem__
-    monkeypatch.setattr(ImageDataset, "__getitem__",
-                        lambda self, i: calls.append(i) or orig(self, i))
+
+    def patched(self, i):
+        # instance-scoped: a straggler worker thread from a previous test's
+        # loader must not pollute `calls`
+        if self is not ds:
+            return orig(self, i)
+        if i >= 1:
+            assert gate.wait(timeout=30), "producer deadlocked behind the gate"
+        calls.append(i)
+        return orig(self, i)
+
+    monkeypatch.setattr(ImageDataset, "__getitem__", patched)
     dl = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False,
                     seed=0, prefetch=0)
     it = iter(dl)
+    # every decode but sample 0's is gated: the first batch arriving at all
+    # proves it needed only its own sample, deterministically
     first = next(it)
     assert first["image"].shape[1:] == (64, 96, 3)
-    # prefetch window may decode the next batch, but never the whole dataset
-    assert len(set(calls)) <= 2, calls
+    assert set(calls) == {0}, calls
+    gate.set()
+    rest = list(it)
+    assert len(rest) == len(ds) - 1
     # keys were still computed for every sample (cheaply) and bucket equal shapes
     keys = {ds.samples[i].get("_bucket") for i in range(len(ds))}
     assert all(k is not None for k in keys)
