@@ -106,6 +106,7 @@ def summarize(trace_dir, top=30, steps=1, hlo=None):
         return "XLAPjRtCpuClient" in t
 
     agg = collections.Counter()
+    flops = collections.Counter()
     per_op = collections.Counter()
     nev = collections.Counter()
     lanes_seen = collections.Counter()
@@ -120,8 +121,22 @@ def summarize(trace_dir, top=30, steps=1, hlo=None):
             continue  # containers wrap their children — counting both doubles
         dur = e.get("dur", 0.0)  # µs
         lanes_seen[(procs.get(pid, ""), threads.get((pid, tid), ""))] += dur
-        cat = hlo_cats.get(name) if hlo_cats else None
-        agg[cat or categorize(name)] += dur
+        args = e.get("args") or {}
+        # the profiler tags each op with the compiler's own category
+        # ("convolution fusion" = a fusion whose root is a GEMM/conv;
+        # "custom-call" = our Pallas kernels) — far more reliable than
+        # guessing from the instruction name
+        ecat = args.get("hlo_category", "")
+        if ecat == "custom-call":
+            cat = "pallas(flash attn)"
+        elif "convolution" in ecat:
+            cat = ("gemm+quant-amax" if "abs_reduce" in name else "gemm")
+        elif ecat:
+            cat = {"data formatting": "copy/layout"}.get(ecat, ecat)
+        else:
+            cat = (hlo_cats.get(name) if hlo_cats else None) or categorize(name)
+        agg[cat] += dur
+        flops[cat] += float(args.get("model_flops", 0) or 0)
         per_op[name] += dur
         nev[name] += 1
 
@@ -138,7 +153,9 @@ def summarize(trace_dir, top=30, steps=1, hlo=None):
     print(f"device lanes: {dict(lanes_seen)}")
     print(f"== device leaf-op time {total/k:.2f} ms/step ({steps} steps)")
     for cat, dur in agg.most_common():
-        print(f"  {cat:24s} {dur/k:9.3f} ms  {100*dur/total:5.1f}%")
+        tf = flops[cat] / dur / 1e6 if dur else 0.0  # model TFLOP/s
+        print(f"  {cat:24s} {dur/k:9.3f} ms  {100*dur/total:5.1f}%"
+              + (f"  {tf:6.1f} TF/s" if tf else ""))
     print(f"  -- top {top} ops (ms/step) --")
     for name, dur in per_op.most_common(top):
         print(f"  {dur/k:9.3f} ms  x{nev[name]//steps:<5d} {name[:110]}")
