@@ -155,6 +155,9 @@ class QuantizeSection(StrictModel):
     dtype: Literal["int8", "int8_dynamic", "int4", "int4_dynamic",
                    "int4_requant", "fp8_e4m3", "fp8_e5m2"] = "int8"
     group_size: int = 128  # int4 scale granularity along the in-dim
+    # also run the attention score GEMM int8 on the MXU (fused flash kernels
+    # only — ops/flash_nr.py; same quantized numerics class as the weights)
+    attention: bool = False
     skip_patterns: list[str] = Field(default_factory=lambda: [r".*norm.*", r".*embed.*"])
 
 

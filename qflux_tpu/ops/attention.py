@@ -88,32 +88,37 @@ def qk_norm_rope_attention(q_raw, k_raw, v, q_scale2, k_scale2, cos, sin,
                            st: int, segment_ids=None, impl: str = "auto"):
     """qk-RMSNorm + rotate-half RoPE + joint attention over RAW projections.
 
-    On TPU (impl auto/pallas) with a single-K-block shape this fuses the
-    norm and rope into the flash kernels (ops/flash_nr.py — kills the
+    On TPU (impl auto/pallas/int8) with a single-K-block shape this fuses
+    the norm and rope into the flash kernels (ops/flash_nr.py — kills the
     [B,S,H,D] roped-q/k materializations and their backward chains);
     everywhere else it applies the identical XLA composition and routes
     through `dot_product_attention` (so ring/sp and the planning stub keep
     working).  q_scale2/k_scale2: [2, D] — row 0 norms positions < st (txt
     stream), row 1 the rest; pass the same row twice for single-stream.
+
+    impl="int8" additionally runs the score GEMM int8 on the MXU
+    (quantized-base numerics class — config `model.quantize.attention`);
+    it degrades to the bf16 fused/XLA path wherever int8 doesn't apply.
     """
     from qflux_tpu.ops import flash_nr
     from qflux_tpu.parallel.mesh import active_mesh
 
     b, sq, h_, d = q_raw.shape
+    s_int8 = impl == "int8"
     mesh = active_mesh()
     ring = (impl == "ring"
-            or (impl == "auto" and mesh is not None
+            or (impl in ("auto", "int8") and mesh is not None
                 and mesh.shape.get("sp", 1) > 1))
-    if (impl in ("auto", "pallas") and not ring
+    if (impl in ("auto", "pallas", "int8") and not ring
             and jax.default_backend() == "tpu"
-            and flash_nr.supports(sq, k_raw.shape[1], d)):
+            and flash_nr.supports(sq, k_raw.shape[1], d, s_int8)):
         return flash_nr.flash_attention_nr(
             q_raw, k_raw, v, q_scale2, k_scale2, cos, sin, st,
-            segment_ids=segment_ids)
+            segment_ids=segment_ids, s_int8=s_int8)
     qn = flash_nr.apply_qk_norm_rope(q_raw, q_scale2, cos, sin, st)
     kn = flash_nr.apply_qk_norm_rope(k_raw, k_scale2, cos, sin, st)
     return dot_product_attention(qn, kn, v, segment_ids=segment_ids,
-                                 impl=impl)
+                                 impl="auto" if s_int8 else impl)
 
 
 def dot_product_attention(q, k, v, segment_ids=None, impl: str = "auto"):

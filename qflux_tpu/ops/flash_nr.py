@@ -53,24 +53,35 @@ EPS = 1e-6
 NR_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _nr_block_q(bk: int, d: int) -> int | None:
+def _nr_block_q(bk: int, d: int, s_int8: bool = False) -> int | None:
     for bq in (256, 128):
         est = (8 * bq * bk          # s + ds f32
                + 16 * bk * d        # dk/dv f32 accumulators
                + 14 * bk * d        # k raw + kn scratch + dkn + cos/sin tiles
                + 24 * bq * d)       # q tiles + cos/sin q side + temps
+        if s_int8:
+            est += bk * d           # int8 kn scratch for the score GEMM
         if est <= NR_VMEM_BUDGET:
             return bq
     return None
 
 
-def supports(sq: int, sk: int, d: int) -> bool:
+def supports(sq: int, sk: int, d: int, s_int8: bool = False) -> bool:
     """The fused path needs K in ONE kernel block (merged-backward regime)
     and self-attention (shared rope tables)."""
     if sq != sk or d % 128 != 0:
         return False
     pk = _auto_block(sk, 1 << 30)  # padded sk — the single K block
-    return _nr_block_q(pk, d) is not None
+    return _nr_block_q(pk, d, s_int8) is not None
+
+
+def _quant_tile(x):
+    """Per-tile (whole-block) symmetric int8 quantization.  The inputs are
+    qk-RMS-normed, so row magnitudes are uniform and one scalar scale per
+    tile loses little — and a scalar factors out of ANY contraction."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-6)
+    return jnp.round(xf / s).astype(jnp.int8), s
 
 
 def _norm_rope(x, s0, s1, cos, sin, row0, st, out_dtype):
@@ -124,15 +135,15 @@ def _two_row_tile(a, b, d):
 # ---------------------------------------------------------------------------
 # forward kernel: grid (b, h, nq), single K block
 
-def _fwd_nr_kernel(*refs, scale, st, masked):
+def _fwd_nr_kernel(*refs, scale, st, masked, s_int8):
     if masked:
         (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
          qcos_ref, qsin_ref, kcos_ref, ksin_ref,
-         o_ref, lse_ref, kn_scr) = refs
+         o_ref, lse_ref, *scr) = refs
     else:
         (qs_ref, ks_ref, q_ref, k_ref, v_ref,
          qcos_ref, qsin_ref, kcos_ref, ksin_ref,
-         o_ref, lse_ref, kn_scr) = refs
+         o_ref, lse_ref, *scr) = refs
     i = pl.program_id(2)
     bq = q_ref.shape[2]
     dt = q_ref.dtype
@@ -141,12 +152,26 @@ def _fwd_nr_kernel(*refs, scale, st, masked):
     def _():
         kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
                               kcos_ref[0], ksin_ref[0], 0, st, dt)
-        kn_scr[...] = kn
+        if s_int8:
+            kq, ksc = _quant_tile(kn)
+            scr[0][...] = kq
+            scr[1][0, 0] = ksc
+        else:
+            scr[0][...] = kn
 
     qn, _, _ = _norm_rope(q_ref[0, 0], qs_ref[0], qs_ref[1],
                           qcos_ref[0], qsin_ref[0], i * bq, st, dt)
-    s = jax.lax.dot_general(qn, kn_scr[...], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    if s_int8:
+        # int8 score GEMM: 2x MXU throughput; the scalar tile scales factor
+        # straight out of the contraction
+        qq, qsc = _quant_tile(qn)
+        s = jax.lax.dot_general(
+            qq, scr[0][...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (qsc * scr[1][0, 0] * scale)
+    else:
+        s = jax.lax.dot_general(qn, scr[0][...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
     if masked:
         ok = _seg_ok(qseg_ref[0, 0], kseg_ref[0, 0])
         s = s + jnp.where(ok, 0.0, NEG_INF)
@@ -161,7 +186,8 @@ def _fwd_nr_kernel(*refs, scale, st, masked):
     lse_ref[0, 0, 0] = m + jnp.log(l_safe)
 
 
-def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
+def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
+            s_int8=False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     nq = sq // block_q
@@ -171,8 +197,12 @@ def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
         pl.BlockSpec((1, 1, sk), lambda b_, h_, i: (b_, 0, 0)),
     ] if masked else []
     seg_args = (q_seg, kv_seg) if masked else ()
+    scratch = ([pltpu.VMEM((sk, d), jnp.int8),
+                pltpu.SMEM((1, 1), jnp.float32)] if s_int8
+               else [pltpu.VMEM((sk, d), q.dtype)])
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_nr_kernel, scale=scale, st=st, masked=masked),
+        functools.partial(_fwd_nr_kernel, scale=scale, st=st, masked=masked,
+                          s_int8=s_int8),
         grid=(b, h, nq),
         in_specs=seg_specs + [
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
@@ -193,7 +223,7 @@ def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((sk, d), q.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -205,17 +235,17 @@ def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
 # ---------------------------------------------------------------------------
 # merged backward: dq_raw, dk_raw, dv + norm-scale gradient partials
 
-def _bwd_nr_kernel(*refs, scale, st, num_q, masked):
+def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
     if masked:
         (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref,
          o_ref, lse_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
          dq_ref, dk_ref, dv_ref, dqs_ref, dks_ref,
-         kn_scr, dkn_scr, dv_scr, dqs_scr) = refs
+         kn_scr, dkn_scr, dv_scr, dqs_scr, *qscr) = refs
     else:
         (qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref,
          o_ref, lse_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
          dq_ref, dk_ref, dv_ref, dqs_ref, dks_ref,
-         kn_scr, dkn_scr, dv_scr, dqs_scr) = refs
+         kn_scr, dkn_scr, dv_scr, dqs_scr, *qscr) = refs
     i = pl.program_id(2)
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
@@ -226,6 +256,10 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked):
         kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
                               kcos_ref[0], ksin_ref[0], 0, st, dt)
         kn_scr[...] = kn
+        if s_int8:
+            kq, ksc = _quant_tile(kn)
+            qscr[0][...] = kq
+            qscr[1][0, 0] = ksc
         dkn_scr[...] = jnp.zeros_like(dkn_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
         dqs_scr[...] = jnp.zeros_like(dqs_scr)
@@ -236,8 +270,17 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked):
     do = do_ref[0, 0]
     delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
                     axis=-1)  # [bq]
-    s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    if s_int8:
+        # same quantization as the forward — the recomputed s (and hence p)
+        # is bit-identical to what produced the saved lse
+        qq, qsc = _quant_tile(qn)
+        s = jax.lax.dot_general(
+            qq, qscr[0][...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (qsc * qscr[1][0, 0] * scale)
+    else:
+        s = jax.lax.dot_general(qn, kn, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
     p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
     if masked:
         # zeroes masked entries AND fully-masked rows (see _dq_kernel in
@@ -280,7 +323,7 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked):
 
 
 def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
-            block_q, st):
+            block_q, st, s_int8=False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     nq = sq // block_q
@@ -290,9 +333,11 @@ def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
         pl.BlockSpec((1, 1, sk), lambda b_, h_, i: (b_, 0, 0)),
     ] if masked else []
     seg_args = (q_seg, kv_seg) if masked else ()
+    quant_scr = ([pltpu.VMEM((sk, d), jnp.int8),
+                  pltpu.SMEM((1, 1), jnp.float32)] if s_int8 else [])
     dq, dk, dv, dqs_p, dks_p = pl.pallas_call(
         functools.partial(_bwd_nr_kernel, scale=scale, st=st, num_q=nq,
-                          masked=masked),
+                          masked=masked, s_int8=s_int8),
         grid=(b, h, nq),
         in_specs=seg_specs + [
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
@@ -327,7 +372,7 @@ def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
             pltpu.VMEM((sk, d), jnp.float32),    # dkn accumulator
             pltpu.VMEM((sk, d), jnp.float32),    # dv accumulator
             pltpu.VMEM((8, d), jnp.float32),     # dscale_q partials
-        ],
+        ] + quant_scr,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -362,26 +407,27 @@ def apply_qk_norm_rope(x, scale2, cos, sin, st, eps=EPS):
     return (us * cb + rot * sb).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _flash_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _flash_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
+              s_int8):
     out, _ = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                     block_q, st)
+                     block_q, st, s_int8)
     return out
 
 
 def _flash_nr_fwd(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q,
-                  st):
+                  st, s_int8):
     out, lse = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                       block_q, st)
+                       block_q, st, s_int8)
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse)
 
 
-def _flash_nr_bwd(scale, block_q, st, res, do):
+def _flash_nr_bwd(scale, block_q, st, s_int8, res, do):
     q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse = res
     dq, dk, dv, dqs, dks = _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg,
-                                   out, lse, do, scale, block_q, st)
+                                   out, lse, do, scale, block_q, st, s_int8)
     return (dq, dk, dv, dqs.astype(qs.dtype), dks.astype(ks.dtype),
             jnp.zeros_like(cos), jnp.zeros_like(sin), None, None)
 
@@ -390,13 +436,17 @@ _flash_nr.defvjp(_flash_nr_fwd, _flash_nr_bwd)
 
 
 def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
-                       segment_ids=None, kv_segment_ids=None, scale=None):
+                       segment_ids=None, kv_segment_ids=None, scale=None,
+                       s_int8=False):
     """Fused qk-RMSNorm + RoPE + flash attention over [B, S, H, D] RAW q/k.
 
     q_scale2/k_scale2: [2, D] norm scales (row 0 for positions < st, row 1
     after — dual-stream txt/img; repeat the row for single-stream).
     cos/sin: [S, D] or [B, S, D] rotate-half tables.
     st: static txt/img boundary (int; 0 = all rows use scale row 1).
+    s_int8: run the score GEMM (and its backward recompute) as int8 x int8
+    on the MXU with per-tile scales — ~2x score-GEMM throughput at ~1%
+    score error (quantized-base numerics class; see ops/quant.py).
 
     Equivalent to apply_qk_norm_rope on q and k followed by
     flash_attention.  Check `supports(sq, sk, d)` before calling.
@@ -405,7 +455,7 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
     assert k.shape[1] == sq, "fused norm+rope path is self-attention only"
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     sk_pad = _auto_block(sq, 1 << 30)
-    bq_m = _nr_block_q(sk_pad, d)
+    bq_m = _nr_block_q(sk_pad, d, s_int8)
     assert bq_m is not None, "caller must gate on flash_nr.supports()"
     block_q = min(_auto_block(sq, BLOCK_Q_TARGET), bq_m)
     pq = _pad_len(sq, block_q)
@@ -432,5 +482,5 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
         qseg = jnp.pad(seg, ((0, 0), (0, pq)))[:, None, :]
 
     out = _flash_nr(qt, kt, vt, q_scale2, k_scale2, t3(cos), t3(sin),
-                    qseg, qseg, scale, block_q, st)
+                    qseg, qseg, scale, block_q, st, bool(s_int8))
     return out.transpose(0, 2, 1, 3)[:, :sq]

@@ -34,6 +34,7 @@ from qflux_tpu.models.flux import vae as flux_vae
 from qflux_tpu.models.flux2 import text_encoder as qwen3
 from qflux_tpu.ops.packing import pack_latents, unpack_latents
 from qflux_tpu.trainer.flux_kontext import (ModelBundle, SimpleTokenizer,
+                                             attn_impl_from_config,
                                              remat_policy_from_config)
 from qflux_tpu.utils.lora_io import flux_module_name, flux_tree_path
 
@@ -102,6 +103,7 @@ class Flux2KleinAdapter:
         variant = config.model.variant
         remat = config.mesh.remat != "none"
         policy = remat_policy_from_config(config.mesh.remat)
+        impl = attn_impl_from_config(config)
         if variant == "test":
             t5cfg = qwen3.Qwen3Config.tiny()
             vae_cfg = flux_vae.VAEConfig.tiny()
@@ -124,7 +126,7 @@ class Flux2KleinAdapter:
                 text_params={"qwen3": qwen3.init(jax.random.fold_in(key, 2), t5cfg)},
                 tokenizers={"qwen3": SimpleTokenizer(t5cfg.vocab_size - 2, 64)},
             )
-            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+            adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy,
                           vae_scale=vae_cfg.downscale,
                           hidden_states_layers=(1, 2, 3))
             return adapter, bundle
@@ -140,7 +142,7 @@ class Flux2KleinAdapter:
         dit_dir = Path(config.model.dit_path or root / "transformer")
         cfg_json = (dit_dir if dit_dir.is_dir() else dit_dir.parent) / "config.json"
         dit_cfg = flux2_config_from_json(cfg_json) if cfg_json.exists() else flux2_config()
-        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
+        adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy)
 
         def _load_dir(p):
             sd = {}

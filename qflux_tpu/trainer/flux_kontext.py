@@ -65,6 +65,13 @@ def remat_policy_from_config(remat_cfg: str) -> str:
             "flash_mlp": "flash_mlp"}.get(remat_cfg, "flash")
 
 
+def attn_impl_from_config(config) -> str:
+    """`model.quantize: {enabled: true, attention: true}` → int8 score GEMM
+    inside the fused flash kernels (ops/attention.py:qk_norm_rope_attention)."""
+    qz = config.model.quantize
+    return "int8" if (qz and qz.enabled and qz.attention) else "auto"
+
+
 class SimpleTokenizer:
     """Hash-based fallback tokenizer for offline/test runs (real runs load the
     HF tokenizers from the checkpoint directory)."""
@@ -125,9 +132,10 @@ class FluxKontextAdapter:
         variant = config.model.variant
         remat = config.mesh.remat != "none"
         policy = remat_policy_from_config(config.mesh.remat)
+        impl = attn_impl_from_config(config)
         if variant == "test":
             dit_cfg = flux.FluxConfig.tiny()
-            adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
+            adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy)
             key = jax.random.PRNGKey(0)
             bundle = ModelBundle(
                 dit_cfg=dit_cfg,
@@ -149,7 +157,7 @@ class FluxKontextAdapter:
             }
             # tiny VAE only downsamples 2x; tiny adapter keeps the real /8 ↔
             # pack conventions by treating its scale as the tiny VAE's
-            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+            adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy,
                           vae_scale=bundle.vae_cfg.downscale)
             return adapter, bundle
 
@@ -163,7 +171,7 @@ class FluxKontextAdapter:
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
         dit_cfg = flux.FluxConfig()
-        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
+        adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy)
 
         def _load_dir(p: Path) -> dict[str, np.ndarray]:
             sd: dict[str, np.ndarray] = {}

@@ -29,6 +29,7 @@ from qflux_tpu.models.qwen import vae as qwen_vae
 from qflux_tpu.models.qwen import vl_encoder as vl
 from qflux_tpu.ops.packing import pack_latents, unpack_latents
 from qflux_tpu.trainer.flux_kontext import (ModelBundle, SimpleTokenizer,
+                                             attn_impl_from_config,
                                              remat_policy_from_config)
 
 # diffusers QwenImageEditPipeline template (drop_idx = 64 template-prefix tokens)
@@ -103,6 +104,7 @@ class QwenImageEditAdapter:
         variant = config.model.variant
         remat = config.mesh.remat != "none"
         policy = remat_policy_from_config(config.mesh.remat)
+        impl = attn_impl_from_config(config)
         if variant == "test":
             dit_cfg = qwen_dit.QwenImageConfig.tiny()
             key = jax.random.PRNGKey(0)
@@ -126,7 +128,7 @@ class QwenImageEditAdapter:
                 },
                 tokenizers={"vl": SimpleTokenizer(480, 512)},
             )
-            adapter = cls(dit_cfg, remat=remat, remat_policy=policy,
+            adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy,
                           vae_scale=vae_cfg.downscale)
             return adapter, bundle
 
@@ -139,7 +141,7 @@ class QwenImageEditAdapter:
 
         root = Path(config.model.pretrained_model_name_or_path or ".")
         dit_cfg = qwen_dit.QwenImageConfig()
-        adapter = cls(dit_cfg, remat=remat, remat_policy=policy)
+        adapter = cls(dit_cfg, attn_impl=impl, remat=remat, remat_policy=policy)
 
         def _load_dir(p: Path) -> dict[str, np.ndarray]:
             sd: dict[str, np.ndarray] = {}

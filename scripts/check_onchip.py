@@ -144,6 +144,19 @@ def main() -> int:
     for name, a, bb in zip(("dq", "dk", "dv", "dqscale", "dkscale"), g_f, g_x):
         check(f"flash_nr {name}", rel_err(a, bb), 5e-3)
 
+    # int8 score-GEMM variant (quantize.attention: true): bounded quant noise
+    # on out AND grads vs the bf16 fused kernel
+    f_i8 = jax.jit(lambda q_, k_, v_, qs_, ks_: flash_nr.flash_attention_nr(
+        q_, k_, v_, qs_, ks_, cos, sin, st, segment_ids=seg, s_int8=True))
+    check("flash_nr int8-s fwd", rel_err(f_i8(q, k, v, qs2, ks2), out_x),
+          3e-2)
+    gl_i8 = jax.jit(jax.grad(
+        lambda *a: (f_i8(*a).astype(jnp.float32)
+                    * do.astype(jnp.float32)).sum(), argnums=(0, 1, 2)))
+    for name, a, bb in zip(("dq", "dk", "dv"), gl_i8(q, k, v, qs2, ks2),
+                           g_x):
+        check(f"flash_nr int8-s {name}", rel_err(a, bb), 5e-2)
+
     # fused int4 matmul vs XLA dequant
     from qflux_tpu.ops.int4_matmul import int4_matmul, supports
     from qflux_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4

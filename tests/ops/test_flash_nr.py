@@ -112,3 +112,54 @@ def test_single_stream_boundary_zero():
     kn = apply_qk_norm_rope(k, ks2, cos, sin, 0)
     ref = sdpa_reference(qn, kn, v)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(ref), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 score GEMM (s_int8=True): quantization noise is bounded, masking and
+# gradients stay correct
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+
+def test_s_int8_forward_close_and_masked_rows_zero():
+    q, k, v, qs2, ks2, cos, sin, _ = _inputs(5)
+    seg = np.ones((B, S), np.int32)
+    seg[0, 230:] = 0
+    seg = jnp.asarray(seg)
+    out = flash_attention_nr(q, k, v, qs2, ks2, cos, sin, ST,
+                             segment_ids=seg, s_int8=True)
+    ref = _oracle(q, k, v, qs2, ks2, cos, sin, seg)
+    assert _rel(out, ref) < 0.03, _rel(out, ref)
+    assert np.all(np.asarray(out)[0, 230:] == 0.0)
+
+
+def test_s_int8_gradients_close_to_autodiff():
+    q, k, v, qs2, ks2, cos, sin, do = _inputs(6)
+
+    def loss_fused(q_, k_, v_, a_, b_):
+        return jnp.sum(flash_attention_nr(q_, k_, v_, a_, b_, cos, sin, ST,
+                                          s_int8=True) * do)
+
+    def loss_ref(q_, k_, v_, a_, b_):
+        return jnp.sum(_oracle(q_, k_, v_, a_, b_, cos, sin) * do)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, qs2, ks2)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, qs2, ks2)
+    for gf, gr, name in zip(g_f, g_r, ("dq", "dk", "dv", "dqs", "dks")):
+        assert _rel(gf, gr) < 0.05, f"{name}: {_rel(gf, gr)}"
+
+
+def test_s_int8_supports_and_dispatch():
+    from qflux_tpu.ops.attention import qk_norm_rope_attention
+
+    assert supports(2560, 2560, 128, s_int8=True)
+    # CPU: impl="int8" degrades to the bf16 XLA composition (no int8 kernel)
+    q, k, v, qs2, ks2, cos, sin, _ = _inputs(7)
+    out = qk_norm_rope_attention(q, k, v, qs2, ks2, cos, sin, ST,
+                                 impl="int8")
+    ref = _oracle(q, k, v, qs2, ks2, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

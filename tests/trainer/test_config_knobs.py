@@ -93,3 +93,20 @@ def test_validation_uses_its_own_guidance_and_cfg(tmp_path, rng):
         t.predict_from_embeddings(emb, 32, 48, num_inference_steps=2)
     assert seen["true_cfg_scale"] == pytest.approx(1.0)
     assert seen["guidance"] == pytest.approx(1.0)
+
+
+def test_quantize_attention_reaches_adapter_attn_impl(tmp_path):
+    """model.quantize.attention: true → adapter.attn_impl == "int8" (the fused
+    kernels' int8 score-GEMM path); default stays "auto"."""
+    from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+
+    cfg = _base_cfg(tmp_path, {"model": {
+        "variant": "test",
+        "quantize": {"enabled": True, "dtype": "int8_dynamic",
+                     "attention": True}}})
+    adapter, _ = FluxKontextAdapter.load(cfg)
+    assert adapter.attn_impl == "int8"
+
+    cfg2 = _base_cfg(tmp_path, {"model": {"variant": "test"}})
+    adapter2, _ = FluxKontextAdapter.load(cfg2)
+    assert adapter2.attn_impl == "auto"
