@@ -314,16 +314,17 @@ def forward(
                   # ~16 MB/block at 512² bs=1) so backward skips re-running
                   # the attention forward while everything else recomputes
                   "flash": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse"),
+                      "flash_out", "flash_lse", "mod_out"),
                   # additionally keep q/k/v fed to the kernel — backward
                   # skips their GEMM+rope recompute at ~2.7 GB extra (512²)
                   "flash_qkv": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
+                      "flash_out", "flash_lse", "flash_q", "flash_k",
+                      "flash_v", "mod_out"),
                   # flash + saved MLP pre-activations (ops/layers.py
                   # named_checkpoint): backward skips re-running the 4×-wide
                   # MLP GEMMs at the cost of storing the bf16 hidden
                   "flash_mlp": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse", "mlp_h"),
+                      "flash_out", "flash_lse", "mlp_h", "mod_out"),
                   "full": None}[remat_policy]
         dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
         single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)

@@ -166,8 +166,11 @@ def _block(p, cfg, img, txt, temb, vid_cos, vid_sin, txt_cos, txt_sin, seg,
     n_h = cfg.num_attention_heads
     st = txt.shape[1]
 
-    img_mod = dense(p["img_mod"]["proj"], jax.nn.silu(temb.astype(jnp.float32)))
-    txt_mod = dense(p["txt_mod"]["proj"], jax.nn.silu(temb.astype(jnp.float32)))
+    # "mod_out" save point: tiny vectors whose recompute re-sweeps the
+    # [D, 6D] weights from HBM (see ops/norms.py:ada_ln_mods)
+    temb_s = jax.nn.silu(temb.astype(jnp.float32))
+    img_mod = named_checkpoint(dense(p["img_mod"]["proj"], temb_s), "mod_out")
+    txt_mod = named_checkpoint(dense(p["txt_mod"]["proj"], temb_s), "mod_out")
     img_mod1, img_mod2 = jnp.split(img_mod, 2, axis=-1)
     txt_mod1, txt_mod2 = jnp.split(txt_mod, 2, axis=-1)
 
@@ -244,11 +247,12 @@ def forward(
         policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                   "dots_all": jax.checkpoint_policies.dots_saveable,
                   "flash": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse"),
+                      "flash_out", "flash_lse", "mod_out"),
                   "flash_qkv": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse", "flash_q", "flash_k", "flash_v"),
+                      "flash_out", "flash_lse", "flash_q", "flash_k",
+                      "flash_v", "mod_out"),
                   "flash_mlp": jax.checkpoint_policies.save_only_these_names(
-                      "flash_out", "flash_lse", "mlp_h"),
+                      "flash_out", "flash_lse", "mlp_h", "mod_out"),
                   "full": None}[remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

@@ -18,6 +18,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
@@ -75,11 +76,15 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
     if "lora" in p:
         la, lb = p["lora"]["a"], p["lora"]["b"]
         scaling = p["lora"].get("scaling", 1.0)
+        # both LoRA dots emit x.dtype: the MXU accumulates f32 internally
+        # regardless of preferred_element_type, and an f32 OUTPUT here makes
+        # every LoRA cotangent f32 — measured as [S,D]-sized f32 layout
+        # copies + mixed f32 grad GEMMs in the backward (docs/PERF.md r3)
         delta = jnp.dot(
-            jnp.dot(x, la.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
+            jnp.dot(x, la.astype(x.dtype), preferred_element_type=x.dtype),
             lb.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ) * (scaling * lora_scale)
+            preferred_element_type=x.dtype,
+        ) * jnp.asarray(scaling * lora_scale, x.dtype)
         y = y + delta.astype(y.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
@@ -87,7 +92,23 @@ def dense(p: Params, x: jax.Array, lora_scale: float | jax.Array = 1.0) -> jax.A
 
 
 def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
-    """x @ W for whatever form the frozen kernel is stored in."""
+    """x @ W for whatever form the frozen kernel is stored in.
+
+    Dynamic-activation int paths (W8A8/W4A8) only pay when the GEMM has
+    real row count; for GEMV-shaped calls (the AdaLN modulation
+    projections: [B,3072]·[3072,18432] at B≤2) XLA lowers an M=1 int8 dot
+    as a VPU s32 multiply+reduce over the WHOLE weight (measured ~10 ms/
+    step of pure overhead — docs/PERF.md round 3), so tiny-M calls route
+    to the weight-only dequant GEMM instead (same frozen weights, bf16
+    activations — a numerics upgrade, not a downgrade)."""
+    tiny_m = int(np.prod(x.shape[:-1])) <= 32
+    if "kernel_q4_rq" in p or "kernel_q4_dyn" in p:
+        if tiny_m:
+            from qflux_tpu.ops.quant import dequantize_kernel_int4
+
+            q4 = p.get("kernel_q4_rq", p.get("kernel_q4_dyn"))
+            kernel = dequantize_kernel_int4(q4, p["kernel_scale"], x.dtype)
+            return jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "kernel_q4_rq" in p:
         # W4A8-requant: int4 → per-channel int8 grid on the fly, one int8×int8
         # MXU GEMM (fastest int4 form measured; docs/PERF.md)
@@ -101,8 +122,11 @@ def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
         return dyn_int4_matmul(x, p["kernel_q4_dyn"], p["kernel_scale"])
     if "kernel_q_dyn" in p:
         # W8A8-dynamic: int8×int8 on the MXU, per-row activation scales
-        from qflux_tpu.ops.quant import dyn_int8_matmul
+        from qflux_tpu.ops.quant import dyn_int8_matmul, wo_matmul
 
+        if tiny_m:
+            return wo_matmul(x, p["kernel_q_dyn"],
+                             p["kernel_scale"][..., 0, :])
         return dyn_int8_matmul(x, p["kernel_q_dyn"], p["kernel_scale"][..., 0, :])
     if "kernel_q4" in p:
         import os as _os

@@ -44,6 +44,13 @@ def ada_ln_init(key, dim: int, n_mods: int, dtype=jnp.float32):
 
 
 def ada_ln_mods(p, temb: jax.Array, n_mods: int) -> list[jax.Array]:
-    """SiLU(temb) → Linear → n_mods chunks of [B, D] (float32)."""
+    """SiLU(temb) → Linear → n_mods chunks of [B, D] (float32).
+
+    The projection output is a named remat save point ("mod_out"): it is a
+    tiny [B, n_mods·D] vector, but recomputing it in backward sweeps the
+    full [D, n_mods·D] weight from HBM again (the GEMV is bandwidth-bound;
+    ~5 ms/step across the 19+38 FLUX blocks — docs/PERF.md round 3)."""
+    from qflux_tpu.ops.layers import named_checkpoint
+
     m = dense(p["proj"], jax.nn.silu(temb.astype(jnp.float32)))
-    return list(jnp.split(m, n_mods, axis=-1))
+    return list(jnp.split(named_checkpoint(m, "mod_out"), n_mods, axis=-1))

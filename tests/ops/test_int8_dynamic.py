@@ -175,3 +175,31 @@ def test_quant_quality_three_way_tiny():
     tails = res["tail_loss"]
     assert tails["w8a8_dynamic"] <= tails["bf16"] * 1.15 + 5e-3, tails
     assert tails["w4a8_requant"] <= tails["bf16"] * 1.25 + 5e-3, tails
+
+
+def test_tiny_m_routes_to_weight_only(wxs):
+    """GEMV-shaped dense() calls (M <= 32 rows — the AdaLN modulation
+    projections) skip the dynamic activation quant: XLA lowers M=1 int8
+    dots as a VPU s32 sweep over the whole weight (docs/PERF.md round 3).
+    The weight-only route keeps bf16 activations → BETTER accuracy."""
+    w, x, q, s = wxs
+    node = {"kernel_q_dyn": q, "kernel_scale": s}
+    x1 = x[:1]
+    y_tiny = dense(node, x1)
+    y_ref = x1 @ (np.asarray(q, np.float32) * np.asarray(s[0]))
+    # weight-only: the ONLY rounding is the weight grid — tighter than the
+    # dynamic path's activation rounding
+    assert np.abs(np.asarray(y_tiny) - np.asarray(y_ref)).max() < 1e-3
+    # gradient still flows to the activation
+    g = jax.grad(lambda z: jnp.sum(dense(node, z) ** 2))(x1)
+    g_ref = jax.grad(lambda z: jnp.sum((z @ w) ** 2))(x1)
+    rel = np.abs(np.asarray(g - g_ref)).max() / np.abs(np.asarray(g_ref)).max()
+    assert rel < 0.05
+    # int4 forms: tiny-M dequant path stays numerically on the int4 grid
+    from qflux_tpu.ops.quant import dequantize_kernel_int4, quantize_kernel_int4
+
+    q4, s4 = quantize_kernel_int4(jnp.asarray(w), 64)
+    node4 = {"kernel_q4_rq": q4, "kernel_scale": s4}
+    y4 = dense(node4, x1)
+    y4_ref = x1 @ dequantize_kernel_int4(q4, s4, jnp.float32)
+    assert np.abs(np.asarray(y4) - np.asarray(y4_ref)).max() < 1e-2
