@@ -140,6 +140,33 @@ def summarize(trace_dir, top=30, steps=1, hlo=None):
         per_op[name] += dur
         nev[name] += 1
 
+    # fwd:bwd split — everything before each step's first backward flash
+    # kernel (checkpoint.* = the merged bwd custom-calls) counts as forward
+    dev_evs = sorted(
+        (e for e in events if e.get("ph") == "X"
+         and is_device_lane(e.get("pid"), e.get("tid"))
+         and not e.get("name", "").startswith(
+             ("jit_", "while", "end:", "conditional"))),
+        key=lambda e: e.get("ts", 0))
+    if dev_evs:
+        first = dev_evs[0]["name"]
+        bounds = [i for i, e in enumerate(dev_evs) if e["name"] == first]
+        bounds.append(len(dev_evs))
+        fwd = bwd = 0.0
+        for s_i in range(len(bounds) - 1):
+            seg = dev_evs[bounds[s_i]:bounds[s_i + 1]]
+            t_b = next((e["ts"] for e in seg
+                        if e["name"].startswith("checkpoint.")), None)
+            for e in seg:
+                if t_b is not None and e["ts"] >= t_b:
+                    bwd += e.get("dur", 0.0)
+                else:
+                    fwd += e.get("dur", 0.0)
+        k0 = 1e3 * steps
+        if bwd:
+            print(f"fwd {fwd/k0:.1f} ms : bwd+recompute {bwd/k0:.1f} ms "
+                  f"= 1:{bwd/fwd:.2f}")
+
     total = sum(agg.values())
     if not total:
         print("no device events found; lanes available:")
