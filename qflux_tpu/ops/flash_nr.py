@@ -61,6 +61,11 @@ def _nr_block_q(bk: int, d: int, s_int8: bool = False) -> int | None:
                + 24 * bq * d)       # q tiles + cos/sin q side + temps
         if s_int8:
             est += bk * d           # int8 kn scratch for the score GEMM
+        # bq=256 at bk=2560 (est 15.9 MB) compiles STANDALONE and is ~3%
+        # faster fwd+bwd — but inside the full model the dual-block variant
+        # hits Mosaic "scoped vmem 17.21M > 16.00M" (operand buffering the
+        # estimate misses), so the 13 MB budget stays. Don't retry without
+        # shrinking the kernel's live set first.
         if est <= NR_VMEM_BUDGET:
             return bq
     return None
