@@ -161,25 +161,41 @@ def main():
 
         def timed(p):
             """NOTE: on the axon tunnel, block_until_ready does NOT block —
-            timing forces a scalar fetch (≈26 ms, amortized over n_iters)."""
+            timing forces a scalar fetch (≈26 ms, amortized over n_iters).
+
+            On TPU the step runs as an AOT executable with XLA-chosen (AUTO)
+            entry layouts for the frozen params — kills the step-invariant
+            weight-stack relayout copies (516 → 506 ms measured at the
+            headline; docs/PERF.md round 3). donate=True consumes `p` (the
+            relaid copy cannot coexist with the source on a 16 GB chip)."""
+            run, p_run = step, p
             t_compile = time.perf_counter()
-            state, m = step(fresh_state(), p, batch, rng)
+            if on_tpu:
+                from qflux_tpu.trainer.train_step import relayout_base_params
+
+                run, p_run = relayout_base_params(step, fresh_state(), p,
+                                                  batch, rng, donate=True)
+            state, m = run(fresh_state(), p_run, batch, rng)
             _ = float(m["loss"])
             compile_s = time.perf_counter() - t_compile
             t0 = time.perf_counter()
             for _ in range(n_iters):
-                state, m = step(state, p, batch, rng)
+                state, m = run(state, p_run, batch, rng)
             _ = float(m["loss"])
+            # free the variant's relaid tree before the next variant builds
+            if on_tpu:
+                jax.tree.map(lambda x: x.delete(), p_run)
             return (time.perf_counter() - t0) / n_iters, compile_s
 
         # 1) int8 weight-only base (bf16 activations — the reference's
-        #    quantized-base numerics class)
+        #    quantized-base numerics class). Each variant gets a fresh
+        #    synthetic tree: timed() donates it to the relayout.
         dt_wo, compile_wo = timed(params)
         # 2) W8A8-dynamic: int8×int8 on the MXU with dynamic per-row
         #    activation scales + straight-through VJP (convergence-tested vs
         #    fp32, tests/ops/test_int8_dynamic.py); 1.3× bf16 at these shapes
-        dt_dyn, compile_dyn = (timed(_w8a8_params(params)) if on_tpu
-                               else (dt_wo, 0.0))
+        dt_dyn, compile_dyn = (timed(_w8a8_params(_synthetic_int8_params(cfg)))
+                               if on_tpu else (dt_wo, 0.0))
         return dt_wo, compile_wo, dt_dyn, compile_dyn
 
     dt_wo, compile_wo, dt_dyn, compile_dyn = bench_flux()

@@ -271,6 +271,12 @@ class TrainSection(StrictModel):
     # training via orbax async (utils/checkpoint.AsyncCheckpointer); the LoRA
     # safetensors interop export stays synchronous either way
     async_checkpointing: bool = False
+    # move the frozen base params into XLA's preferred entry layouts once at
+    # fit start (train_step.relayout_base_params) instead of paying the
+    # weight-stack relayout copies every step (−2% step time measured at the
+    # 512² headline; docs/PERF.md round 3). Single-process, single-device
+    # runs only — a sharded mesh keeps default layouts.
+    auto_entry_layouts: bool = True
 
     @model_validator(mode="after")
     def _weighted_sampling_implies_weighting(self):
@@ -288,6 +294,7 @@ class ValidationSection(StrictModel):
     num_inference_steps: int = 20
     true_cfg_scale: float = 1.0
     guidance: float = 2.5
+    # [{prompt, images: [control image paths], height, width}]
     samples: list[dict[str, Any]] = Field(default_factory=list)
     # alternative sample source: a dataset spec {class_path, init_args}
     # (reference validation.py:80-118 _load_validation_samples)
@@ -296,6 +303,21 @@ class ValidationSection(StrictModel):
     # fail-loud by default (reference raises on shape mismatch,
     # validation.py:154-204); set False to log-and-continue
     fail_on_error: bool = True
+
+    @model_validator(mode="after")
+    def _check_sample_keys(self):
+        # the sample dicts are untyped (Any) so a typo like `control_image:`
+        # would otherwise silently validate with NO control images and a
+        # default-size blank target — fail loud instead
+        allowed = {"prompt", "images", "height", "width"}
+        for i, s in enumerate(self.samples):
+            unknown = sorted(set(s) - allowed)
+            if unknown:
+                raise ValueError(
+                    f"validation.samples[{i}]: unknown keys {unknown}; allowed "
+                    f"keys are {sorted(allowed)} (images = list of control "
+                    f"image paths)")
+        return self
 
 
 class LoggingSection(StrictModel):

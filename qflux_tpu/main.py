@@ -126,6 +126,12 @@ def main(argv=None):
     # ~1 min cold; subsequent runs load from disk in seconds
     import jax
 
+    # honor an explicit CPU request: the axon TPU plugin registers at
+    # discovery and IGNORES the env var afterwards (same dance as bench.py),
+    # so without this a "CPU" run silently lands on the real chip
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.environ.get("QFLUX_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/qflux_tpu/xla"))
     if cache_dir and cache_dir != "0":

@@ -76,16 +76,37 @@ def _resnet(p, x, groups):
     return x + h
 
 
+# past this sequence length the spatial attention runs query-chunked: the
+# full [S, S] f32 score matrix at e.g. a 256×256 latent grid is 16 GB and
+# OOMs the chip at compile time (found by driving validation end-to-end)
+ATTN_CHUNK = 4096
+
+
+def _sdpa(q, k, v, c):
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits / (c ** 0.5), axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkc->bqc", probs, v)
+
+
 def _attn_block(p, x, groups):
-    """Single-head spatial self-attention (diffusers Attention in VAE mid block)."""
+    """Single-head spatial self-attention (diffusers Attention in VAE mid
+    block). Large grids chunk the query axis — identical per-row softmax,
+    O(S·chunk) score memory instead of O(S²)."""
     b, h, w, c = x.shape
-    y = _group_norm(p["group_norm"], x, groups).reshape(b, h * w, c)
+    s = h * w
+    y = _group_norm(p["group_norm"], x, groups).reshape(b, s, c)
     q = y @ p["to_q"]["kernel"].astype(y.dtype) + p["to_q"]["bias"].astype(y.dtype)
     k = y @ p["to_k"]["kernel"].astype(y.dtype) + p["to_k"]["bias"].astype(y.dtype)
     v = y @ p["to_v"]["kernel"].astype(y.dtype) + p["to_v"]["bias"].astype(y.dtype)
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits / (c ** 0.5), axis=-1).astype(v.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    if s > ATTN_CHUNK:
+        cq = ATTN_CHUNK
+        while s % cq:  # largest divisor of S that is ≤ the chunk target
+            cq //= 2
+        qc = q.reshape(b, s // cq, cq, c).transpose(1, 0, 2, 3)
+        o = jax.lax.map(lambda qi: _sdpa(qi, k, v, c), qc)
+        o = o.transpose(1, 0, 2, 3).reshape(b, s, c)
+    else:
+        o = _sdpa(q, k, v, c)
     o = o @ p["to_out"]["kernel"].astype(o.dtype) + p["to_out"]["bias"].astype(o.dtype)
     return x + o.reshape(b, h, w, c)
 

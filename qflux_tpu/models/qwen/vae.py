@@ -89,13 +89,24 @@ def _resblock(p, x):
 
 
 def _attn_block(p, x):
+    from qflux_tpu.models.flux.vae import ATTN_CHUNK, _sdpa
+
     b, h, w, c = x.shape
-    y = _rms_norm_ch(p["norm"], x).reshape(b, h * w, c)
+    s = h * w
+    y = _rms_norm_ch(p["norm"], x).reshape(b, s, c)
     qkv = y @ p["to_qkv"]["kernel"].astype(y.dtype) + p["to_qkv"]["bias"].astype(y.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits / (c ** 0.5), axis=-1).astype(v.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    if s > ATTN_CHUNK:
+        # query-chunked — the full [S, S] f32 score matrix OOMs on large
+        # grids (see flux/vae._attn_block)
+        cq = ATTN_CHUNK
+        while s % cq:
+            cq //= 2
+        qc = q.reshape(b, s // cq, cq, c).transpose(1, 0, 2, 3)
+        o = jax.lax.map(lambda qi: _sdpa(qi, k, v, c), qc)
+        o = o.transpose(1, 0, 2, 3).reshape(b, s, c)
+    else:
+        o = _sdpa(q, k, v, c)
     o = o @ p["proj"]["kernel"].astype(o.dtype) + p["proj"]["bias"].astype(o.dtype)
     return x + o.reshape(b, h, w, c)
 

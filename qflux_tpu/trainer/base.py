@@ -47,6 +47,7 @@ from qflux_tpu.trainer.train_step import (
     TrainStepConfig,
     make_lr_schedule,
     make_train_step,
+    relayout_base_params,
 )
 from qflux_tpu.utils.fps import FpsLogger
 from qflux_tpu.utils.instantiate import resolve_symbol
@@ -89,6 +90,7 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self._interrupted = False
+        self._params_relaid = False
         self.output_dir: Optional[Path] = None
         self.adapter = None
         self.bundle = None
@@ -236,6 +238,39 @@ class Trainer:
             grad_accum_steps=t.gradient_accumulation_steps,
         )
 
+    def _maybe_relayout_params(self, step_fn, emb, rng):
+        """One-shot at fit start: move the frozen base into XLA's preferred
+        entry layouts (train.auto_entry_layouts) and return the step re-jitted
+        with those formats pinned, so neither the step nor later shape buckets
+        pay the per-step weight-stack relayout copies (−2% step time measured;
+        docs/PERF.md round 3). No-op unless single-process single-device TPU
+        (set QFLUX_AUTO_LAYOUT=force to exercise the path on CPU in tests)."""
+        import os
+
+        if not self.config.train.auto_entry_layouts or self._params_relaid:
+            return step_fn
+        forced = os.environ.get("QFLUX_AUTO_LAYOUT") == "force"
+        if not forced and (jax.default_backend() != "tpu"
+                           or jax.process_count() > 1 or self.mesh.size > 1):
+            return step_fn
+        _, relaid = relayout_base_params(step_fn, self.state,
+                                         self.bundle.dit_params, emb, rng,
+                                         donate=True)
+        self.bundle.dit_params = relaid
+        self._params_relaid = True
+        fmts = jax.tree.map(lambda x: x.format, relaid)
+        logging.info("frozen base params relaid to XLA-preferred entry layouts")
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       in_shardings=(None, fmts, None, None))
+
+    def _sampler_formats(self, params):
+        """Format pytree for make_sampler when the base tree was relaid —
+        without the pin, the sampler's jit re-transposes the whole tree on
+        every call (see make_sampler)."""
+        if not self._params_relaid:
+            return None
+        return jax.tree.map(lambda x: x.format, params)
+
     # ------------------------------------------------------------------
     # fit
 
@@ -298,6 +333,8 @@ class Trainer:
             emb = (self._device_batch(self._embeddings_for_batch(batch),
                                       batch_sharding)
                    if batch is not None else None)
+            if emb is not None:
+                step_fn = self._maybe_relayout_params(step_fn, emb, rng)
             while batch is not None:
                 if cfg.logging.profile_dir:
                     # trace steps 2-4: past compile, short enough to view
@@ -624,7 +661,8 @@ class Trainer:
         if use_lora is not None:
             params = merge_lora(params, use_lora)
         sampler = make_sampler(self.adapter.predict_velocity, SamplingConfig(
-            num_inference_steps=steps, true_cfg_scale=true_cfg_scale))
+            num_inference_steps=steps, true_cfg_scale=true_cfg_scale),
+            param_formats=self._sampler_formats(params))
         b = int(np.shape(emb["prompt_embeds"])[0])
         key = jax.random.PRNGKey(self.config.logging.sampling_seed if seed is None else seed)
         dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
@@ -713,7 +751,8 @@ class Trainer:
         if self.state is not None:
             params = merge_lora(params, self.state.lora)
         sampler = make_sampler(self.adapter.predict_velocity, SamplingConfig(
-            num_inference_steps=steps, true_cfg_scale=pcfg.true_cfg_scale))
+            num_inference_steps=steps, true_cfg_scale=pcfg.true_cfg_scale),
+            param_formats=self._sampler_formats(params))
         dtype = jnp.bfloat16 if self.config.train.weight_dtype == "bfloat16" else jnp.float32
         key = jax.random.PRNGKey(self.config.logging.sampling_seed if seed is None else seed)
         lat0 = jax.random.normal(key, lat_template.shape, dtype)
@@ -790,8 +829,13 @@ class Trainer:
             proc = ImageProcessor(self.config.data.processor)
             processed = [proc.process_image(np.asarray(im), f"control_{j}")
                          for j, im in enumerate(s["images"])]
-            h = s.get("height") or (processed[0].shape[0] if processed else 512)
-            w = s.get("width") or (processed[0].shape[1] if processed else 512)
+            # with neither images nor explicit size, follow the training
+            # processor's target rather than inventing a resolution
+            tgt = getattr(self.config.data.processor, "target_size", None)
+            h = s.get("height") or (processed[0].shape[0] if processed
+                                    else (tgt[0] if tgt else 512))
+            w = s.get("width") or (processed[0].shape[1] if processed
+                                   else (tgt[1] if tgt else 512))
             pixel_batch = {"image": np.zeros((1, h, w, 3), np.uint8),
                            "prompt": [s["prompt"]]}
             for j, im in enumerate(processed):

@@ -14,6 +14,7 @@ neg + s·(pos − neg)) and the Qwen norm-rescaled guidance variant
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -32,17 +33,26 @@ class SamplingConfig:
     guidance_rescale: bool = False  # Qwen norm-rescale of the CFG output
 
 
-def make_sampler(predict_velocity: PredictFn, cfg: SamplingConfig = SamplingConfig()):
+def make_sampler(predict_velocity: PredictFn, cfg: SamplingConfig = SamplingConfig(),
+                 param_formats=None):
     """Returns jitted `sample(params, batch, latents0, sigmas) -> latents`.
 
     batch must contain the conditioning embeddings; for true-CFG it must also
     hold the negative embeddings under "neg_…"-prefixed keys (the adapter's
     predict_velocity receives the whole batch and picks what it needs via the
     `negative=` kwarg convention below).
+
+    param_formats: optional pytree of jax Formats matching `params` — pass
+    the committed formats when the frozen base was relaid into XLA-preferred
+    entry layouts (train_step.relayout_base_params); without the pin, jit
+    lowers for default layouts and the runtime re-transposes the whole tree
+    on every call (measured 3× step cost on the 12 GB tree; docs/PERF.md).
     """
     use_cfg = cfg.true_cfg_scale > 1.0
+    jit_kw = ({"in_shardings": (param_formats, None, None, None)}
+              if param_formats is not None else {})
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kw)
     def sample(params, batch, latents, sigmas):
         def body(lat, sig_pair):
             sigma, sigma_next = sig_pair

@@ -188,6 +188,50 @@ def make_train_step(
     return step
 
 
+def relayout_base_params(step, state, base_params, batch, rng, donate=False):
+    """Compile `step` with XLA-chosen (AUTO) entry layouts for the frozen
+    base params and move the tree into those layouts once.
+
+    jit entry parameters default to row-major; the profiler trace shows XLA
+    re-transposing the step-invariant int8 qkv weight stacks to its preferred
+    GEMM layouts EVERY step (~4 ms at the 512² headline, docs/PERF.md round
+    3). AUTO layouts push the choice out to the entry signature; a one-time
+    device_put then makes every subsequent step relayout-free.
+
+    donate=True frees each source leaf as soon as its relaid copy is issued —
+    required when the tree fills most of HBM (the 12 GB int8 full-model tree
+    cannot coexist with its relaid copy on a 16 GB chip). The caller's tree is
+    consumed.
+
+    Returns (compiled_step, relaid_params): `compiled_step` has the same call
+    signature as `step` but is a shape-specialized executable (donating the
+    state like the original), and `relaid_params` is the params tree committed
+    in the executable's preferred layouts.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    fmt = jax.tree.map(lambda _: Format(Layout.AUTO), base_params)
+    jitted = jax.jit(step, donate_argnums=(0,),
+                     in_shardings=(None, fmt, None, None))
+    # AUTO-layout lowering rejects committed concrete arrays ("arg layout is
+    # concrete") — lower from abstract ShapeDtypeStructs instead
+    sds = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                       (state, base_params, batch, rng))
+    compiled = jitted.lower(*sds).compile()
+    param_formats = compiled.input_formats[0][1]
+    leaves, treedef = jax.tree.flatten(base_params)
+    fmt_leaves = jax.tree.leaves(param_formats)
+    out = []
+    for x, f in zip(leaves, fmt_leaves):
+        y = jax.device_put(x, f)
+        if donate and y is not x:
+            # safe without a host sync: the runtime orders the copy before
+            # the free on the device stream
+            x.delete()
+        out.append(y)
+    return compiled, jax.tree.unflatten(treedef, out)
+
+
 def make_lr_schedule(base_lr: float, scheduler_type: str = "constant",
                      warmup_steps: int = 0, total_steps: int = 10000):
     """diffusers get_scheduler equivalents (reference base_trainer.py:884-916)."""

@@ -256,9 +256,15 @@ def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
 
 
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
-                gh: int = 32, gw: int = 32, part: str = "step"):
+                gh: int = 32, gw: int = 32, part: str = "step",
+                layout: str = "default"):
     """part: step (train step) | fwd (loss value only) | grad (value_and_grad,
-    no optimizer) — the decomposition knob for locating step time."""
+    no optimizer) — the decomposition knob for locating step time.
+
+    layout=auto: compile with XLA-chosen (AUTO) entry layouts for the frozen
+    base params and device_put the tree into those layouts once — probes the
+    step-invariant relayout copies the trace shows (~4 ms of s8 qkv stack
+    copies; docs/PERF.md round 3)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -327,14 +333,33 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
               f"{dt*1e3:7.1f} ms  (compile {compile_s:.0f}s)", flush=True)
         return
 
-    t_c = time.perf_counter()
-    try:
-        state, m = step(state, params, batch, rng)
-        _ = float(m["loss"])  # scalar fetch actually blocks over the tunnel
-    except Exception as e:
-        print(f"variant policy={policy} bs={bs} attn={attn}: FAILED {type(e).__name__}: {str(e)[:300]}")
-        return
-    compile_s = time.perf_counter() - t_c
+    if layout in ("auto", "auto_jit"):
+        # auto     — run the AOT-compiled executable returned by the helper
+        # auto_jit — relayout the params but keep calling the ORIGINAL jitted
+        #            step (the trainer's mode: buckets re-specialize per batch
+        #            shape; probes that plain jit honors committed layouts)
+        from qflux_tpu.trainer.train_step import relayout_base_params
+        t_c = time.perf_counter()
+        try:
+            cstep, params = relayout_base_params(step, state, params, batch,
+                                                 rng, donate=True)
+            if layout == "auto":
+                step = cstep
+            state, m = step(state, params, batch, rng)
+            _ = float(m["loss"])
+        except Exception as e:
+            print(f"variant layout={layout}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            return
+        compile_s = time.perf_counter() - t_c
+    else:
+        t_c = time.perf_counter()
+        try:
+            state, m = step(state, params, batch, rng)
+            _ = float(m["loss"])  # scalar fetch actually blocks over the tunnel
+        except Exception as e:
+            print(f"variant policy={policy} bs={bs} attn={attn}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            return
+        compile_s = time.perf_counter() - t_c
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -371,4 +396,4 @@ if __name__ == "__main__":
             run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
                         kv.get("layers", "full"), int(kv.get("iters", 8)),
                         int(kv.get("gh", 32)), int(kv.get("gw", 32)),
-                        kv.get("part", "step"))
+                        kv.get("part", "step"), kv.get("layout", "default"))

@@ -277,3 +277,37 @@ def test_convert_qwen_vae_roundtrip(rng):
     da = qwen_vae.decode(tree, cfg, a)
     db = qwen_vae.decode(got, cfg, b)
     np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-5)
+
+
+def test_flux_attn_chunked_matches_naive(monkeypatch):
+    """Query-chunked spatial attention (large grids; found by driving
+    validation at a size whose [S,S] f32 scores OOM) is numerically the
+    naive path."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.flux import vae as fvae
+
+    c, h, w = 8, 8, 16  # s=128
+    p = fvae._attn_init(jax.random.PRNGKey(0), c, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, c), jnp.float32)
+    ref = fvae._attn_block(p, x, groups=4)          # s <= chunk: naive
+    monkeypatch.setattr(fvae, "ATTN_CHUNK", 32)     # force 4 chunks
+    out = fvae._attn_block(p, x, groups=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_qwen_attn_chunked_matches_naive(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.models.flux import vae as fvae
+    from qflux_tpu.models.qwen import vae as qvae
+
+    c, h, w = 8, 8, 16
+    p = qvae._attn_init(jax.random.PRNGKey(0), c, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, c), jnp.float32)
+    ref = qvae._attn_block(p, x)
+    monkeypatch.setattr(fvae, "ATTN_CHUNK", 32)  # qwen reads flux's constant
+    out = qvae._attn_block(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

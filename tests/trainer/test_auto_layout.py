@@ -1,0 +1,93 @@
+"""train.auto_entry_layouts: the one-shot relayout of the frozen base into
+XLA-preferred entry layouts (trainer/base._maybe_relayout_params →
+train_step.relayout_base_params) plus the pinned-format sampler path.
+
+On TPU this kills the per-step weight-stack relayout copies (516 → 506 ms
+measured at the 512² headline, docs/PERF.md round 3); the backend gate means
+CPU CI must force the path via QFLUX_AUTO_LAYOUT=force — layouts are trivial
+on CPU, so the assertion here is end-to-end correctness of the code path
+(fit → AOT formats → pinned step → pinned sampler), not speed.
+"""
+
+import numpy as np
+import pytest
+
+from qflux_tpu.config import Config
+from qflux_tpu.data.dataset import ImageDataset
+from qflux_tpu.data.loader import DataLoader
+from qflux_tpu.data.preprocess import ImageProcessor
+from qflux_tpu.trainer.base import Trainer
+
+
+def _config(tmp_path, img_dir) -> Config:
+    return Config.model_validate({
+        "trainer": "FluxKontextLoraTrainer",
+        "mesh": {"dp": 1, "fsdp": 1, "tp": 1},
+        "model": {"variant": "test", "lora": {"r": 4, "lora_alpha": 4}},
+        "data": {
+            "init_args": {"dataset_path": str(img_dir)},
+            "processor": {"process_type": "resize", "target_size": [32, 48]},
+            "batch_size": 1,
+        },
+        "cache": {"use_cache": False},
+        "train": {"max_train_steps": 2, "checkpointing_steps": 100,
+                  "weight_dtype": "float32"},
+        "logging": {"output_dir": str(tmp_path / "out"), "project": "autolayout",
+                    "report_to": "tensorboard"},
+        "optimizer": {"class_path": "optax.adamw", "learning_rate": 1e-3,
+                      "init_args": {}},
+        "predict": {"num_inference_steps": 2},
+    })
+
+
+@pytest.fixture()
+def img_dir(tmp_path, rng):
+    from PIL import Image
+
+    d = tmp_path / "data"
+    (d / "training_images").mkdir(parents=True)
+    (d / "control_images").mkdir(parents=True)
+    for i in range(2):
+        stem = f"img_{i:03d}"
+        Image.fromarray(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)).save(
+            d / "training_images" / f"{stem}.png")
+        (d / "training_images" / f"{stem}.txt").write_text(f"prompt {i}")
+        Image.fromarray(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)).save(
+            d / "control_images" / f"{stem}.png")
+    return d
+
+
+def _fit(tmp_path, img_dir, monkeypatch, force):
+    if force:
+        monkeypatch.setenv("QFLUX_AUTO_LAYOUT", "force")
+    else:
+        monkeypatch.delenv("QFLUX_AUTO_LAYOUT", raising=False)
+    cfg = _config(tmp_path, img_dir)
+    proc = ImageProcessor(cfg.data.processor)
+    ds = ImageDataset(dataset_path=str(img_dir), processor=proc, use_cache=False)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    trainer = Trainer(cfg)
+    state = trainer.fit(dl)
+    return trainer, state
+
+
+def test_forced_auto_layout_fit_and_predict(tmp_path, img_dir, monkeypatch, rng):
+    trainer, state = _fit(tmp_path / "auto", img_dir, monkeypatch, force=True)
+    assert trainer._params_relaid is True
+    assert int(state.step) == 2
+    # every relaid leaf is committed with a concrete Format the sampler pin
+    # can read back
+    import jax
+
+    fmts = jax.tree.map(lambda x: x.format, trainer.bundle.dit_params)
+    assert all(f is not None for f in jax.tree.leaves(fmts))
+    # predict exercises make_sampler(param_formats=…) end-to-end
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out = trainer.predict(img, "a prompt", height=32, width=48)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_gate_stays_off_on_cpu(tmp_path, img_dir, monkeypatch):
+    trainer, state = _fit(tmp_path / "plain", img_dir, monkeypatch, force=False)
+    assert trainer._params_relaid is False
+    assert int(state.step) == 2

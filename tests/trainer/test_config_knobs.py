@@ -66,7 +66,7 @@ def test_validation_uses_its_own_guidance_and_cfg(tmp_path, rng):
 
     seen = {}
 
-    def fake_make_sampler(predict_velocity, scfg):
+    def fake_make_sampler(predict_velocity, scfg, param_formats=None):
         seen["true_cfg_scale"] = scfg.true_cfg_scale
 
         def sampler(params, emb, lat0, sigmas):
@@ -110,3 +110,22 @@ def test_quantize_attention_reaches_adapter_attn_impl(tmp_path):
     cfg2 = _base_cfg(tmp_path, {"model": {"variant": "test"}})
     adapter2, _ = FluxKontextAdapter.load(cfg2)
     assert adapter2.attn_impl == "auto"
+
+
+def test_unknown_validation_sample_keys_rejected(tmp_path):
+    """A typo like `control_image:` used to silently validate with no control
+    images and a default-size blank target (found driving the CLI); the
+    sample dicts now fail loud."""
+    import pytest
+
+    from qflux_tpu.config import Config
+
+    with pytest.raises(ValueError, match="control_image"):
+        Config.model_validate({
+            "trainer": "FluxKontextLoraTrainer",
+            "model": {"variant": "test"},
+            "data": {"init_args": {"dataset_path": str(tmp_path)}},
+            "validation": {"enabled": True,
+                           "samples": [{"prompt": "p",
+                                        "control_image": "x.png"}]},
+        })
