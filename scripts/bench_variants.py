@@ -106,6 +106,12 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
     rng = jax.random.PRNGKey(0)
     t_c = time.perf_counter()
     try:
+        if jax.default_backend() == "tpu":
+            # same AUTO-entry-layout treatment as the FLUX headline
+            from qflux_tpu.trainer.train_step import relayout_base_params
+
+            step, params = relayout_base_params(step, state, params, batch,
+                                                rng, donate=True)
         state, m = step(state, params, batch, rng)
         _ = float(m["loss"])
     except Exception as e:
