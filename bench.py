@@ -201,8 +201,11 @@ def main():
     dt_wo, compile_wo, dt_dyn, compile_dyn = bench_flux()
 
     # 3) the 20B Qwen-Image-Edit DiT (int4_requant base — the only numerics
-    #    that fits 20B on one 16 GB v5e); reference quantized-base rows:
-    #    0.4 img/s aggregate on 2×RTX4090 fp4-DDP = 0.2/chip
+    #    that fits 20B on one 16 GB v5e); reference quantized-base (fp4) rows
+    #    (README.md:617-626): A100 10.8 s/it bs=2 ⇒ 0.185 img/s/chip;
+    #    2×RTX4090 12.8 s/it bs=2/proc ⇒ 0.156/chip; bs=1/proc 6.34 s/it ⇒
+    #    0.158/chip. Denominator 0.2 rounds the reference UP (conservative
+    #    multiple for us); full derivation in docs/PERF.md.
     qwen_fps = None
     if on_tpu:
         try:

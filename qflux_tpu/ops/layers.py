@@ -288,20 +288,50 @@ def build_lora_tree(key, params: Params, target_patterns: list[str], rank: int,
     return tree
 
 
+def _fuse_into_node(b: Params, delta: jax.Array) -> Params:
+    """W += delta for whatever form the frozen kernel is stored in.
+
+    Quantized nodes are dequantized to f32, the delta folded in, then
+    re-quantized onto the SAME grid family (per-channel int8/fp8 or grouped
+    int4 with the group size inferred from the stored scale shape), so a
+    LoRA trained on a quantized base can still be served fused."""
+    from qflux_tpu.ops import quant
+
+    out = dict(b)
+    if "kernel" in b:
+        out["kernel"] = (b["kernel"].astype(jnp.float32) + delta).astype(b["kernel"].dtype)
+        return out
+    q4_key = next((k for k in ("kernel_q4", "kernel_q4_dyn", "kernel_q4_rq") if k in b), None)
+    if q4_key is not None:
+        w = quant.dequantize_kernel_int4(b[q4_key], b["kernel_scale"], jnp.float32)
+        group = w.shape[-2] // b["kernel_scale"].shape[-2]
+        q, scale = quant.quantize_kernel_int4(w + delta, group)
+        out[q4_key], out["kernel_scale"] = q, scale
+        return out
+    q_key = next((k for k in ("kernel_q", "kernel_q_dyn") if k in b), None)
+    if q_key is not None:
+        w = b[q_key].astype(jnp.float32) * b["kernel_scale"]
+        qdt = {jnp.int8.dtype: "int8",
+               jnp.float8_e4m3fn.dtype: "fp8_e4m3",
+               jnp.float8_e5m2.dtype: "fp8_e5m2"}[b[q_key].dtype]
+        q, scale = quant.quantize_kernel(w + delta, qdt)
+        out[q_key], out["kernel_scale"] = q, scale
+        return out
+    raise KeyError(f"no kernel variant found in node with keys {sorted(b)}")
+
+
 def fuse_lora(base: Params, lora: Params, scale: float = 1.0) -> Params:
     """Permanently fold lora into the base kernels (W += scale·scaling·a@b).
     Used for DreamOmni2's fused edit-LoRA load (reference
-    models/flux_kontext_loader.py:184-198)."""
+    models/flux_kontext_loader.py:184-198). Works on full-precision AND
+    quantized bases (the delta is folded through a dequant→requant cycle)."""
 
     def rec(b, l):
         if isinstance(l, dict) and "a" in l and "b" in l:
             scaling = jnp.asarray(l.get("scaling", 1.0), jnp.float32)
             delta = jnp.matmul(l["a"].astype(jnp.float32), l["b"].astype(jnp.float32))
             scaling = scaling.reshape(scaling.shape + (1,) * (delta.ndim - scaling.ndim))
-            delta = delta * (scale * scaling)
-            out = dict(b)
-            out["kernel"] = (b["kernel"].astype(jnp.float32) + delta).astype(b["kernel"].dtype)
-            return out
+            return _fuse_into_node(b, delta * (scale * scaling))
         if isinstance(l, dict):
             out = dict(b)
             for k, v in l.items():
