@@ -55,8 +55,18 @@ def flux2_config(**overrides) -> flux.FluxConfig:
 def flux2_config_from_json(path) -> flux.FluxConfig:
     """Derive the DiT topology from the checkpoint's diffusers config.json
     instead of asserting the klein-4B defaults (the reference delegates this
-    to diffusers from_pretrained, flux2_klein_loader.py:92-140)."""
+    to diffusers from_pretrained, flux2_klein_loader.py:92-140).
+
+    Unknown ARCHITECTURE keys are a hard error: the FLUX.2 block body is
+    implemented from the FLUX.1 MMDiT family (docs/PARITY.md "Flux2-Klein
+    audit") and an unconsumed config knob (e.g. a hypothetical
+    `parallel_blocks: true`) would mean the checkpoint encodes structure this
+    forward does not implement — silently ignoring it would load weights into
+    the wrong math. Set QFLUX_FLUX2_ALLOW_UNKNOWN=1 to downgrade to a
+    warning after auditing the key."""
     import json
+    import logging
+    import os
 
     raw = json.loads(Path(path).read_text())
     keys = ("num_layers", "num_single_layers", "attention_head_dim",
@@ -67,6 +77,21 @@ def flux2_config_from_json(path) -> flux.FluxConfig:
         overrides["axes_dims_rope"] = tuple(raw["axes_dims_rope"])
     if raw.get("pooled_projection_dim") is not None:
         overrides["pooled_projection_dim"] = raw["pooled_projection_dim"]
+    known = set(keys) | {"axes_dims_rope", "pooled_projection_dim",
+                         "mlp_ratio"}
+    unknown = sorted(k for k in raw
+                     if k not in known and not k.startswith("_"))
+    if unknown:
+        msg = (f"flux2 config.json carries architecture keys this "
+               f"implementation does not consume: {unknown} — refusing to "
+               f"load (see docs/PARITY.md, Flux2-Klein audit). Audit each "
+               f"key against models/flux/transformer.py and set "
+               f"QFLUX_FLUX2_ALLOW_UNKNOWN=1 to proceed.")
+        if os.environ.get("QFLUX_FLUX2_ALLOW_UNKNOWN") != "1":
+            raise ValueError(msg)
+        logging.warning(msg)
+    if raw.get("mlp_ratio") is not None:
+        overrides["mlp_ratio"] = raw["mlp_ratio"]
     return flux2_config(**overrides)
 
 

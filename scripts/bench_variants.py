@@ -385,6 +385,19 @@ if __name__ == "__main__":
         # honor an explicit cpu request (same dance as bench.py)
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache (same location/policy as bench.py) — the
+        # full-model variants here are 1-5 min cold per (shape, policy)
+        import jax
+        cache_dir = os.environ.get("QFLUX_COMPILE_CACHE",
+                                   os.path.expanduser("~/.cache/qflux_tpu/xla"))
+        if cache_dir and cache_dir != "0" and jax.default_backend() == "tpu":
+            try:
+                jax.config.update("jax_compilation_cache_dir",
+                                  os.path.join(cache_dir, "tpu"))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            except Exception:
+                pass
     policies = [a for a in sys.argv[1:] if "=" not in a] or ["full", "flash"]
     if kv.get("mode") == "qwen_inference":
         run_qwen_inference(kv.get("quant", "requant"),

@@ -105,6 +105,57 @@ def main() -> int:
     for name, a, bb in zip(("dq", "dk", "dv"), g_ring, g_ref):
         check(f"ring hop {name}", rel_err(a, bb), 5e-3)
 
+    # FAKED 2-HOP RING on one chip (VERDICT r3 #4): compose the exact hop
+    # primitives — flash_fwd_with_lse per K/V chunk + logaddexp merge, then
+    # flash_bwd_from_residuals per chunk against the GLOBAL lse — with
+    # manually-rotated K/V halves, and compare to the monolithic kernel.
+    # This exercises the global-lse backward merge through real Mosaic hops
+    # (the integration a 1-device mesh never covers) without multi-chip HW.
+    from qflux_tpu.ops.flash_attention import (flash_bwd_from_residuals,
+                                               flash_fwd_with_lse)
+
+    seg = (jnp.arange(s)[None, :] < s - 33).astype(jnp.int32)  # real padding
+    half = s // 2
+    chunks = [(k[:, :half], v[:, :half], seg[:, :half]),
+              (k[:, half:], v[:, half:], seg[:, half:])]
+    scale = 1.0 / (d ** 0.5)
+
+    def two_hop_fwd(q_):
+        lse_acc = jnp.full((b, h, s), -1e30, jnp.float32)
+        acc = jnp.zeros((b, s, h, d), jnp.float32)
+        for (kc, vc, sc) in chunks:
+            o_hop, lse_hop = flash_fwd_with_lse(q_, kc, vc, seg, sc, scale)
+            lse_new = jnp.logaddexp(lse_acc, lse_hop)
+            w_old = jnp.exp(lse_acc - lse_new).transpose(0, 2, 1)[..., None]
+            w_hop = jnp.exp(lse_hop - lse_new).transpose(0, 2, 1)[..., None]
+            acc = acc * w_old + o_hop.astype(jnp.float32) * w_hop
+            lse_acc = lse_new
+        return acc.astype(q_.dtype), lse_acc
+
+    out2, lse2 = jax.jit(two_hop_fwd)(q)
+    mono = jax.jit(lambda a, b_, c: flash_attention(a, b_, c, segment_ids=seg))
+    check("2-hop ring fwd vs monolithic kernel", rel_err(out2, mono(q, k, v)), 3e-3)
+
+    def two_hop_bwd(q_, out_, lse_, do_):
+        dq = jnp.zeros(q_.shape, jnp.float32)
+        dks, dvs = [], []
+        for (kc, vc, sc) in chunks:
+            dq_h, dk_h, dv_h = flash_bwd_from_residuals(
+                q_, kc, vc, seg, sc, out_, lse_, do_, scale)
+            dq = dq + dq_h.astype(jnp.float32)
+            dks.append(dk_h)
+            dvs.append(dv_h)
+        return (dq.astype(q_.dtype), jnp.concatenate(dks, axis=1),
+                jnp.concatenate(dvs, axis=1))
+
+    dq2, dk2, dv2 = jax.jit(two_hop_bwd)(q, out2, lse2, do)
+    g_mono = jax.jit(jax.grad(
+        lambda q_, k_, v_: (flash_attention(q_, k_, v_, segment_ids=seg)
+                            .astype(jnp.float32) * do.astype(jnp.float32)).sum(),
+        argnums=(0, 1, 2)))(q, k, v)
+    for name, a, bb in zip(("dq", "dk", "dv"), (dq2, dk2, dv2), g_mono):
+        check(f"2-hop ring {name} (global-lse merge)", rel_err(a, bb), 5e-3)
+
     # fused qk-RMSNorm+RoPE flash kernels (ops/flash_nr.py) vs the XLA
     # composition — dual-stream scales (st=512), real padding, grads to
     # q/k/v AND both norm-scale pairs

@@ -129,3 +129,18 @@ def test_missing_key_raises():
         convert_with_coverage(convert_flux_transformer, sd, cfg.num_layers,
                               cfg.num_single_layers,
                               head_dim=cfg.attention_head_dim, strict=True)
+
+
+def test_unknown_architecture_key_refused(tmp_path, monkeypatch):
+    """An unconsumed config.json architecture knob must be a hard error —
+    loading weights into math that ignores it would be silently wrong
+    (docs/PARITY.md Flux2-Klein audit)."""
+    cfg_json = tmp_path / "config.json"
+    cfg_json.write_text(json.dumps({
+        "_class_name": "Flux2Transformer2DModel", **TINY,
+        "patch_size": 1, "parallel_blocks": True}))
+    with pytest.raises(ValueError, match="parallel_blocks"):
+        flux2_config_from_json(cfg_json)
+    monkeypatch.setenv("QFLUX_FLUX2_ALLOW_UNKNOWN", "1")
+    cfg = flux2_config_from_json(cfg_json)  # downgraded to a warning
+    assert cfg.num_layers == 2

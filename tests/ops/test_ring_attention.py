@@ -160,3 +160,35 @@ def test_ring_kernel_hop_path_matches_sdpa(sp_mesh, monkeypatch):
     for gr, gf in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_ring_kernel_path_matches_einsum_path(sp_mesh, monkeypatch):
+    """Kernel-hop ring vs einsum-hop ring under the SAME 4-device ppermute
+    ring: both paths implement identical online-softmax math, so values and
+    custom-VJP grads must agree to accumulation-order noise (VERDICT r3 #4 —
+    the hop kernels composed with ppermute across >=2 devices)."""
+    import qflux_tpu.ops.ring_attention as ra
+
+    q, k, v = _qkv(jax.random.PRNGKey(9), 1, 128, 2, 128)
+    seg = np.ones((1, 128), np.int32)
+    seg[0, 112:] = 0
+    seg[0, :24] = 2
+    seg = jnp.asarray(seg)
+
+    def run(force_kernel):
+        monkeypatch.setattr(ra, "_use_kernel", lambda: force_kernel)
+
+        def loss(q_, k_, v_):
+            o = ring_attention_sharded(q_, k_, v_, sp_mesh, "sp", segment_ids=seg)
+            return jnp.sum(jnp.where(seg[..., None, None] != 0, o, 0.0) ** 2)
+
+        out = ring_attention_sharded(q, k, v, sp_mesh, "sp", segment_ids=seg)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return np.asarray(out), [np.asarray(g) for g in grads]
+
+    out_k, g_k = run(True)
+    out_e, g_e = run(False)
+    valid = np.asarray(seg)[0] != 0
+    np.testing.assert_allclose(out_k[0, valid], out_e[0, valid], atol=2e-6)
+    for a, b in zip(g_k, g_e):
+        np.testing.assert_allclose(a, b, atol=2e-5)
