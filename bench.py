@@ -150,6 +150,8 @@ def main():
                                TrainStepConfig())
         batch = _flux_inputs(cfg, batch=batch_size, grid_h=grid, grid_w=grid,
                              txt_len=txt_len, dtype=jnp.bfloat16)
+        batch_bs2 = _flux_inputs(cfg, batch=2, grid_h=grid, grid_w=grid,
+                                 txt_len=txt_len, dtype=jnp.bfloat16)
         rng = jax.random.PRNGKey(0)
 
         def fresh_state():
@@ -159,7 +161,7 @@ def main():
                 rank=16, alpha=16, dtype=jnp.bfloat16)
             return TrainState.create(lora, opt)
 
-        def timed(p):
+        def timed(p, b=None):
             """NOTE: on the axon tunnel, block_until_ready does NOT block —
             timing forces a scalar fetch (≈26 ms, amortized over n_iters).
 
@@ -168,19 +170,20 @@ def main():
             weight-stack relayout copies (516 → 506 ms measured at the
             headline; docs/PERF.md round 3). donate=True consumes `p` (the
             relaid copy cannot coexist with the source on a 16 GB chip)."""
+            b = batch if b is None else b
             run, p_run = step, p
             t_compile = time.perf_counter()
             if on_tpu:
                 from qflux_tpu.trainer.train_step import relayout_base_params
 
                 run, p_run = relayout_base_params(step, fresh_state(), p,
-                                                  batch, rng, donate=True)
-            state, m = run(fresh_state(), p_run, batch, rng)
+                                                  b, rng, donate=True)
+            state, m = run(fresh_state(), p_run, b, rng)
             _ = float(m["loss"])
             compile_s = time.perf_counter() - t_compile
             t0 = time.perf_counter()
             for _ in range(n_iters):
-                state, m = run(state, p_run, batch, rng)
+                state, m = run(state, p_run, b, rng)
             _ = float(m["loss"])
             # free the variant's relaid tree before the next variant builds
             if on_tpu:
@@ -196,9 +199,14 @@ def main():
         #    fp32, tests/ops/test_int8_dynamic.py); 1.3× bf16 at these shapes
         dt_dyn, compile_dyn = (timed(_w8a8_params(_synthetic_int8_params(cfg)))
                                if on_tpu else (dt_wo, 0.0))
-        return dt_wo, compile_wo, dt_dyn, compile_dyn
+        # 3) the same W8A8 step at bs=2 — the reference's canonical training
+        #    batch (its README rows are all bs>=2); tracked per round since
+        #    r4 closed the bs=2 per-image regression (docs/PERF.md round 4)
+        dt_bs2, _ = (timed(_w8a8_params(_synthetic_int8_params(cfg)), batch_bs2)
+                     if on_tpu else (2 * dt_dyn, 0.0))
+        return dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2
 
-    dt_wo, compile_wo, dt_dyn, compile_dyn = bench_flux()
+    dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2 = bench_flux()
 
     # 3) the 20B Qwen-Image-Edit DiT (int4_requant base — the only numerics
     #    that fits 20B on one 16 GB v5e); reference quantized-base (fp4) rows
@@ -253,6 +261,8 @@ def main():
         "mfu_est_int8_peak": round(mfu, 4) if np.isfinite(mfu) else None,
         "int8_weight_only_fps": round(fps_wo, 4),
         "vs_baseline_weight_only": round(fps_wo / BASELINE_FPS_PER_CHIP, 4),
+        "flux_512_bs2_fps": round(2.0 / dt_bs2, 4),
+        "vs_baseline_bs2": round(2.0 / dt_bs2 / BASELINE_FPS_PER_CHIP, 4),
         "qwen20b_int4_requant_fps": qwen_fps,
         "qwen20b_vs_reference_per_chip": (round(qwen_fps / 0.2, 2)
                                           if qwen_fps else None),

@@ -47,6 +47,8 @@ def convert_vl_vision(sd: Mapping[str, np.ndarray], depth: int,
                     "up": _lin(sd, f"{b}.mlp.up_proj", dtype),
                     "down": _lin(sd, f"{b}.mlp.down_proj", dtype)},
         })
+    from qflux_tpu.models.qwen.vl_encoder import stack_layers
+    p["blocks"] = stack_layers(p["blocks"])
     return p
 
 
@@ -71,6 +73,8 @@ def convert_vl_text(sd: Mapping[str, np.ndarray], num_layers: int,
                     "up": _lin_nobias(sd, f"{b}.mlp.up_proj", dtype),
                     "down": _lin_nobias(sd, f"{b}.mlp.down_proj", dtype)},
         })
+    from qflux_tpu.models.qwen.vl_encoder import stack_layers
+    p["layers"] = stack_layers(p["layers"])
     return p
 
 

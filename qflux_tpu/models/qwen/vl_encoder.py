@@ -187,6 +187,21 @@ def window_index(grid_thw, cfg: VLVisionConfig):
 # ===========================================================================
 # init
 
+def stack_layers(layers):
+    """List-of-layer-dicts → one dict of [L, …]-stacked leaves (the scan form).
+
+    The canonical storage form for the LM/vision stacks: under jit, a python
+    loop over 28 full-width decoder layers unrolls into 28 copies of the layer
+    graph (compile time and HLO size ∝ depth); `lax.scan` over stacked params
+    compiles the layer ONCE. Numpy leaves stay numpy (converters run
+    host-side)."""
+    if isinstance(layers, dict):
+        return layers  # already stacked
+    first = jax.tree.leaves(layers[0])[0]
+    stack = np.stack if isinstance(first, np.ndarray) else jnp.stack
+    return jax.tree.map(lambda *xs: stack(xs), *layers)
+
+
 def _rms(c, dtype):
     return {"scale": jnp.ones((c,), dtype)}
 
@@ -219,6 +234,7 @@ def vision_init(key, cfg: VLVisionConfig, dtype=jnp.float32):
                     "up": dense_init(next(keys), d, ff, dtype=dtype),
                     "down": dense_init(next(keys), ff, d, dtype=dtype)},
         })
+    p["blocks"] = stack_layers(p["blocks"])
     return p
 
 
@@ -243,6 +259,7 @@ def text_init(key, cfg: VLTextConfig, dtype=jnp.float32):
                     "up": _nb(next(keys), d, cfg.intermediate_size, dtype),
                     "down": _nb(next(keys), cfg.intermediate_size, d, dtype)},
         })
+    p["layers"] = stack_layers(p["layers"])
     return p
 
 
@@ -306,8 +323,9 @@ def vision_forward(params, cfg: VLVisionConfig, patches: jax.Array,
     full_seg_j = jnp.asarray(full_seg)
     scale = hd ** -0.5
 
-    for li, lp in enumerate(params["blocks"]):
-        seg = full_seg_j if li in cfg.fullatt_block_indexes else win_seg_j
+    def block(x, xs):
+        lp, is_full = xs
+        seg = jnp.where(is_full, full_seg_j, win_seg_j)
         h_in = _rms_apply(lp["norm1"], x)
         qkv = dense(lp["attn"]["qkv"], h_in).reshape(s, 3, n_h, hd)
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
@@ -318,6 +336,12 @@ def vision_forward(params, cfg: VLVisionConfig, patches: jax.Array,
         h_in = _rms_apply(lp["norm2"], x)
         x = x + dense(lp["mlp"]["down"],
                       jax.nn.silu(dense(lp["mlp"]["gate"], h_in)) * dense(lp["mlp"]["up"], h_in))
+        return x, None
+
+    blocks = stack_layers(params["blocks"])
+    depth = jax.tree.leaves(blocks)[0].shape[0]
+    is_full = jnp.asarray([li in cfg.fullatt_block_indexes for li in range(depth)])
+    x, _ = jax.lax.scan(block, x, (blocks, is_full))
 
     # merge 2×2 → MLP
     m = params["merger"]
@@ -365,27 +389,37 @@ def text_forward(params, cfg: VLTextConfig, inputs_embeds: jax.Array,
     if attention_mask is not None:
         causal = causal & attention_mask[:, None, None, :].astype(bool)
 
-    x = inputs_embeds
-    for lp in params["layers"]:
-        h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        a = lp["attn"]
-        q = dense(a["q"], h).reshape(b, s, n_h, hd)
-        k = dense(a["k"], h).reshape(b, s, n_kv, hd)
-        v = dense(a["v"], h).reshape(b, s, n_kv, hd)
-        q = (q.astype(jnp.float32) * cos[:, :, None] + _rotate_half(q.astype(jnp.float32)) * sin[:, :, None]).astype(x.dtype)
-        k = (k.astype(jnp.float32) * cos[:, :, None] + _rotate_half(k.astype(jnp.float32)) * sin[:, :, None]).astype(x.dtype)
-        k = jnp.repeat(k, n_h // n_kv, axis=2)
-        v = jnp.repeat(v, n_h // n_kv, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        logits = jnp.where(causal, logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, d)
-        x = x + dense(a["o"], o)
-        h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = x + dense(lp["mlp"]["down"],
-                      jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+    def layer(x, lp):
+        x, _ = _decoder_layer(cfg, x, lp, cos, sin, causal)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, inputs_embeds, stack_layers(params["layers"]))
     return _rms_apply(params["norm"], x, cfg.rms_norm_eps)
+
+
+def _decoder_layer(cfg: VLTextConfig, x, lp, cos, sin, mask):
+    """One Qwen2 decoder layer (GQA + qkv bias, SwiGLU). Returns (x, (k, v))
+    with k/v pre-GQA-repeat — what a KV cache stores."""
+    b, s, d = x.shape
+    n_h, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    a = lp["attn"]
+    q = dense(a["q"], h).reshape(b, s, n_h, hd)
+    k = dense(a["k"], h).reshape(b, s, n_kv, hd)
+    v = dense(a["v"], h).reshape(b, s, n_kv, hd)
+    q, k = _rope_qk(q, k, cos, sin, x.dtype)
+    kr = jnp.repeat(k, n_h // n_kv, axis=2)
+    vr = jnp.repeat(v, n_h // n_kv, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, vr).reshape(b, s, d)
+    x = x + dense(a["o"], o)
+    h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    x = x + dense(lp["mlp"]["down"],
+                  jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+    return x, (k, v)
 
 
 # ===========================================================================
@@ -412,32 +446,16 @@ def _rope_qk(q, k, cos, sin, dtype):
 def text_prefill(params, cfg: VLTextConfig, inputs_embeds: jax.Array,
                  position_ids, cache: dict):
     """text_forward that also fills cache[:, :, :S]. Returns (hidden, cache)."""
-    b, s, d = inputs_embeds.shape
-    n_h, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    s = inputs_embeds.shape[1]
     cos, sin = mrope_cos_sin(position_ids, cfg)
     causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
 
-    x = inputs_embeds
-    for li, lp in enumerate(params["layers"]):
-        h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        a = lp["attn"]
-        q = dense(a["q"], h).reshape(b, s, n_h, hd)
-        k = dense(a["k"], h).reshape(b, s, n_kv, hd)
-        v = dense(a["v"], h).reshape(b, s, n_kv, hd)
-        q, k = _rope_qk(q, k, cos, sin, x.dtype)
-        cache["k"] = cache["k"].at[li, :, :s].set(k.astype(cache["k"].dtype))
-        cache["v"] = cache["v"].at[li, :, :s].set(v.astype(cache["v"].dtype))
-        k = jnp.repeat(k, n_h // n_kv, axis=2)
-        v = jnp.repeat(v, n_h // n_kv, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        logits = jnp.where(causal, logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, d)
-        x = x + dense(a["o"], o)
-        h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = x + dense(lp["mlp"]["down"],
-                      jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+    def layer(x, lp):
+        return _decoder_layer(cfg, x, lp, cos, sin, causal)
+
+    x, (ks, vs) = jax.lax.scan(layer, inputs_embeds, stack_layers(params["layers"]))
+    cache["k"] = cache["k"].at[:, :, :s].set(ks.astype(cache["k"].dtype))
+    cache["v"] = cache["v"].at[:, :, :s].set(vs.astype(cache["v"].dtype))
     return _rms_apply(params["norm"], x, cfg.rms_norm_eps), cache
 
 
@@ -451,20 +469,20 @@ def text_decode_step(params, cfg: VLTextConfig, embed: jax.Array,
     cos, sin = mrope_cos_sin(position_ids, cfg)
     mask = (jnp.arange(max_len) <= cache_len)[None, None, None, :]
 
-    x = embed
-    for li, lp in enumerate(params["layers"]):
+    def layer(x, xs):
+        lp, kc, vc = xs
         h = _rms_apply(lp["input_layernorm"], x, cfg.rms_norm_eps)
         a = lp["attn"]
         q = dense(a["q"], h).reshape(b, 1, n_h, hd)
         k = dense(a["k"], h).reshape(b, 1, n_kv, hd)
         v = dense(a["v"], h).reshape(b, 1, n_kv, hd)
         q, k = _rope_qk(q, k, cos, sin, x.dtype)
-        cache["k"] = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype)[None], (li, 0, cache_len, 0, 0))
-        cache["v"] = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype)[None], (li, 0, cache_len, 0, 0))
-        k_all = jnp.repeat(cache["k"][li].astype(x.dtype), n_h // n_kv, axis=2)
-        v_all = jnp.repeat(cache["v"][li].astype(x.dtype), n_h // n_kv, axis=2)
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
+                                          (0, cache_len, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
+                                          (0, cache_len, 0, 0))
+        k_all = jnp.repeat(kc.astype(x.dtype), n_h // n_kv, axis=2)
+        v_all = jnp.repeat(vc.astype(x.dtype), n_h // n_kv, axis=2)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)
         logits = jnp.where(mask, logits, -1e30)
@@ -474,6 +492,12 @@ def text_decode_step(params, cfg: VLTextConfig, embed: jax.Array,
         h = _rms_apply(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + dense(lp["mlp"]["down"],
                       jax.nn.silu(dense(lp["mlp"]["gate"], h)) * dense(lp["mlp"]["up"], h))
+        return x, (k.astype(cache["k"].dtype), v.astype(cache["v"].dtype))
+
+    x, (ks, vs) = jax.lax.scan(
+        layer, embed, (stack_layers(params["layers"]), cache["k"], cache["v"]))
+    cache["k"] = jax.lax.dynamic_update_slice(cache["k"], ks, (0, 0, cache_len, 0, 0))
+    cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vs, (0, 0, cache_len, 0, 0))
     return _rms_apply(params["norm"], x, cfg.rms_norm_eps)[:, 0], cache
 
 
