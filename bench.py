@@ -235,6 +235,19 @@ def main():
                   file=sys.stderr)
             qwen_fps = None
 
+    # 4) the Qwen-Image-Edit CACHE pass at real 7B width (vision tower + LM +
+    #    3D-VAE ×2; VERDICT r3 #2). int8-weight-only LM — the single-chip fit.
+    qwen_cache_sps = None
+    if on_tpu:
+        try:
+            from scripts.bench_qwen_cache import run as run_qwen_cache
+
+            qwen_cache_sps = run_qwen_cache("int8", 512, n_iters=6)
+            qwen_cache_sps = round(qwen_cache_sps, 2) if qwen_cache_sps else None
+        except Exception as e:
+            print(f"qwen cache bench skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # report each configuration under its own label (no silent min())
     dt = dt_dyn if on_tpu else dt_wo
     fps = batch_size / dt
@@ -266,6 +279,7 @@ def main():
         "qwen20b_int4_requant_fps": qwen_fps,
         "qwen20b_vs_reference_per_chip": (round(qwen_fps / 0.2, 2)
                                           if qwen_fps else None),
+        "qwen_cache_samples_per_s": qwen_cache_sps,
         "note": "baseline 0.85 img/s/chip (1.7 aggregate, 2xRTX4090 bf16-FSDP); "
                 "headline = W8A8-dynamic (int8 MXU matmuls, per-row dynamic "
                 "activation scales, straight-through VJP, convergence-tested); "

@@ -31,3 +31,42 @@ def flux_inputs(cfg, batch: int, grid_h: int, grid_w: int, txt_len: int, dtype):
             flux_image_ids(grid_h, grid_w, 0), flux_image_ids(grid_h, grid_w, 1)])),
         "txt_ids": jnp.asarray(flux_text_ids(txt_len)),
     }
+
+
+def flux_multires_inputs(cfg, grids, txt_len: int, dtype):
+    """Mixed-resolution PADDED batch (the multi-res fallback path): one sample
+    per (grid_h, grid_w), each a target+control pair, padded to the largest
+    joint sequence with per-sample [B, S, 3] ids and segment_ids (0 = padding)
+    — exactly what the trainer's padded/segment-masked path feeds the DiT
+    (trainer/flux_kontext.py predict_velocity; reference multi-res loss,
+    flux_kontext_trainer.py:579-796)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.ops.rope import flux_image_ids, flux_text_ids
+
+    b = len(grids)
+    s_img_max = 2 * max(h * w for h, w in grids)
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    img_lat = jax.random.normal(ks[0], (b, s_img_max // 2, cfg.in_channels), dtype)
+    ctl_lat = jax.random.normal(ks[1], (b, s_img_max // 2, cfg.in_channels), dtype)
+    ids = np.zeros((b, s_img_max, 3), np.float32)
+    seg = np.zeros((b, txt_len + s_img_max), np.int32)
+    seg[:, :txt_len] = 1
+    for i, (h, w) in enumerate(grids):
+        s = h * w
+        ids[i, :s] = flux_image_ids(h, w, 0)
+        ids[i, s_img_max // 2:s_img_max // 2 + s] = flux_image_ids(h, w, 1)
+        seg[i, txt_len:txt_len + s] = 1                              # target
+        seg[i, txt_len + s_img_max // 2:txt_len + s_img_max // 2 + s] = 1  # ctl
+    return {
+        "image_latents": img_lat,
+        "control_latents": ctl_lat,
+        "prompt_embeds": jax.random.normal(
+            ks[2], (b, txt_len, cfg.joint_attention_dim), dtype),
+        "pooled_prompt_embeds": jnp.zeros((b, cfg.pooled_projection_dim), dtype),
+        "img_ids": jnp.asarray(ids),
+        "txt_ids": jnp.asarray(np.broadcast_to(flux_text_ids(txt_len),
+                                               (b, txt_len, 3)).copy()),
+        "segment_ids": jnp.asarray(seg),
+    }

@@ -263,7 +263,7 @@ def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
 
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
                 gh: int = 32, gw: int = 32, part: str = "step",
-                layout: str = "default"):
+                layout: str = "default", multires: str = ""):
     """part: step (train step) | fwd (loss value only) | grad (value_and_grad,
     no optimizer) — the decomposition knob for locating step time.
 
@@ -310,8 +310,17 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
     opt = optax.adamw(1e-4)
     step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
     state = TrainState.create(lora, opt)
-    batch = _flux_inputs(cfg, batch=bs, grid_h=gh, grid_w=gw, txt_len=512,
-                         dtype=jnp.bfloat16)
+    if multires:
+        # e.g. multires=32x32,28x24 — one sample per grid, padded + segment
+        # masked (the multi-res fallback path; VERDICT r3 #7)
+        from qflux_tpu.utils.synthetic import flux_multires_inputs
+
+        grids = [tuple(int(v) for v in g.split("x")) for g in multires.split(",")]
+        batch = flux_multires_inputs(cfg, grids, txt_len=512, dtype=jnp.bfloat16)
+        bs = len(grids)
+    else:
+        batch = _flux_inputs(cfg, batch=bs, grid_h=gh, grid_w=gw, txt_len=512,
+                             dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
     if part in ("fwd", "grad"):
@@ -415,4 +424,5 @@ if __name__ == "__main__":
             run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
                         kv.get("layers", "full"), int(kv.get("iters", 8)),
                         int(kv.get("gh", 32)), int(kv.get("gw", 32)),
-                        kv.get("part", "step"), kv.get("layout", "default"))
+                        kv.get("part", "step"), kv.get("layout", "default"),
+                        kv.get("multires", ""))
