@@ -221,14 +221,41 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
     param_formats = compiled.input_formats[0][1]
     leaves, treedef = jax.tree.flatten(base_params)
     fmt_leaves = jax.tree.leaves(param_formats)
-    out = []
-    for x, f in zip(leaves, fmt_leaves):
-        y = jax.device_put(x, f)
-        if donate and y is not x:
-            # safe without a host sync: the runtime orders the copy before
-            # the free on the device stream
-            x.delete()
-        out.append(y)
+
+    # Move ONLY the leaves whose concrete layout differs, in byte-bounded
+    # batched jax.device_put calls. A per-leaf device_put(x, format) pays a
+    # full tunnel round trip PER LEAF — measured 160 s for the 98-leaf
+    # weight-only tree (~1.6 s/leaf; the whole AUTO step compile is 10.5 s);
+    # a jitted identity program per group was WORSE (each group compiles a
+    # fresh transpose program remotely, ~317 s total). Chunking bounds the
+    # relayout's transient memory (a donated input can't alias a
+    # changed-layout output, so each chunk briefly exists twice) — required
+    # when the tree fills most of HBM.
+    out = [None] * len(leaves)
+    moves = []
+    for i, (x, f) in enumerate(zip(leaves, fmt_leaves)):
+        if getattr(x, "format", None) == f:
+            out[i] = x  # already in the executable's layout — no copy
+        else:
+            moves.append((i, x, f))
+
+    chunk_bytes = int(1.5 * 2**30) if donate else 1 << 62
+    groups, cur, cur_bytes = [], [], 0
+    for i, x, f in moves:
+        nb = x.size * x.dtype.itemsize
+        if cur and cur_bytes + nb > chunk_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((i, x, f))
+        cur_bytes += nb
+    if cur:
+        groups.append(cur)
+
+    for group in groups:
+        ys = jax.device_put([x for _, x, _ in group],
+                            [f for _, _, f in group], donate=donate)
+        for (i, _, _), y in zip(group, ys):
+            out[i] = y
     return compiled, jax.tree.unflatten(treedef, out)
 
 
