@@ -188,6 +188,22 @@ def make_train_step(
     return step
 
 
+def _chunk_by_bytes(moves, chunk_bytes):
+    """Greedy split of `(i, array, fmt)` triples into groups whose summed
+    bytes stay ≤ chunk_bytes (a single oversize leaf gets its own group)."""
+    groups, cur, cur_bytes = [], [], 0
+    for i, x, f in moves:
+        nb = x.size * x.dtype.itemsize
+        if cur and cur_bytes + nb > chunk_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((i, x, f))
+        cur_bytes += nb
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def relayout_base_params(step, state, base_params, batch, rng, donate=False):
     """Compile `step` with XLA-chosen (AUTO) entry layouts for the frozen
     base params and move the tree into those layouts once.
@@ -240,18 +256,7 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
             moves.append((i, x, f))
 
     chunk_bytes = int(1.5 * 2**30) if donate else 1 << 62
-    groups, cur, cur_bytes = [], [], 0
-    for i, x, f in moves:
-        nb = x.size * x.dtype.itemsize
-        if cur and cur_bytes + nb > chunk_bytes:
-            groups.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append((i, x, f))
-        cur_bytes += nb
-    if cur:
-        groups.append(cur)
-
-    for group in groups:
+    for group in _chunk_by_bytes(moves, chunk_bytes):
         ys = jax.device_put([x for _, x, _ in group],
                             [f for _, _, f in group], donate=donate)
         for (i, _, _), y in zip(group, ys):

@@ -91,3 +91,22 @@ def test_gate_stays_off_on_cpu(tmp_path, img_dir, monkeypatch):
     trainer, state = _fit(tmp_path / "plain", img_dir, monkeypatch, force=False)
     assert trainer._params_relaid is False
     assert int(state.step) == 2
+
+
+def test_chunk_by_bytes_grouping():
+    """The relayout mover batches leaves into byte-bounded device_put calls:
+    greedy fill, oversize single leaves get their own group, order preserved."""
+    from qflux_tpu.trainer.train_step import _chunk_by_bytes
+
+    class A:  # stand-in with the two attributes the chunker reads
+        def __init__(self, nbytes):
+            self.size, self.dtype = nbytes, np.dtype(np.uint8)
+
+    moves = [(i, A(nb), f"f{i}") for i, nb in enumerate([60, 60, 100, 300, 10, 10])]
+    groups = _chunk_by_bytes(moves, chunk_bytes=128)
+    assert [[i for i, _, _ in g] for g in groups] == [[0, 1], [2], [3], [4, 5]]
+    # flattening the groups preserves the move order exactly
+    assert [i for g in groups for i, _, _ in g] == list(range(6))
+    # no-move and single-move edge cases
+    assert _chunk_by_bytes([], 128) == []
+    assert [[i for i, _, _ in g] for g in _chunk_by_bytes(moves[:1], 1)] == [[0]]
