@@ -134,7 +134,12 @@ class MeshSection(StrictModel):
     # "minimal" = save matmul outputs (most memory, least recompute).
     # flash_mlp = flash + saved MLP pre-activations (skips the 4×-wide GEMM
     # recompute in backward; exact, costs the bf16 hidden per block)
-    remat: Literal["none", "minimal", "full", "flash", "flash_mlp"] = "flash"
+    # flash_single = flash saves on FLUX's 38 single blocks only (full
+    # recompute on the dual blocks): the long-sequence middle ground when
+    # 'flash' residuals exceed HBM (Qwen has no dual/single split — there
+    # it behaves exactly like flash)
+    remat: Literal["none", "minimal", "full", "flash", "flash_mlp",
+                   "flash_single"] = "flash"
 
 
 class LoraSection(StrictModel):
@@ -368,7 +373,8 @@ class Config(StrictModel):
         # low_memory trades step time for headroom: plain full recompute
         # (no extra saved activations) — the reference declares the knob
         # without semantics (reference data/config.py:617); here it acts
-        if self.train.low_memory and self.mesh.remat == "flash":
+        if self.train.low_memory and self.mesh.remat in (
+                "flash", "flash_mlp", "flash_single"):
             self.mesh.remat = "full"
         return self
 

@@ -325,8 +325,16 @@ def forward(
                   # MLP GEMMs at the cost of storing the bf16 hidden
                   "flash_mlp": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "mlp_h", "mod_out"),
+                  # flash saves on the 38 single blocks only, full recompute
+                  # on the 19 dual blocks: ~2/3 of the attention-recompute
+                  # savings at ~1/3 of the saved-residual memory — the
+                  # long-sequence middle ground where full 'flash' exceeds
+                  # HBM next to a 12 GB base (docs/PERF.md round 4)
+                  "flash_single": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "mod_out"),
                   "full": None}[remat_policy]
-        dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=policy)
+        dual_policy = None if remat_policy == "flash_single" else policy
+        dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=dual_policy)
         single_fn = jax.checkpoint(single_fn, prevent_cse=False, policy=policy)
 
     (img, txt), _ = jax.lax.scan(dual_fn, (img, txt), params["dual"])

@@ -253,6 +253,9 @@ def forward(
                       "flash_v", "mod_out"),
                   "flash_mlp": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "mlp_h", "mod_out"),
+                  # no dual/single split in this architecture — same as flash
+                  "flash_single": jax.checkpoint_policies.save_only_these_names(
+                      "flash_out", "flash_lse", "mod_out"),
                   "full": None}[remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

@@ -263,6 +263,44 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0,),
                        in_shardings=(None, fmts, None, None))
 
+    def _degrade_remat_or_raise(self, err, criterion, optimizer, step_cfg):
+        """Recover from a compile-stage failure by falling back to full
+        recompute.  The default 'flash' remat policy saves per-block
+        attention residuals that scale with sequence length; at long-sequence
+        buckets (e.g. 832×576 on a 16 GB chip next to a 12 GB int8 base) the
+        program can exceed HBM at memory-assignment time, which surfaces as an
+        opaque compile error (docs/PERF.md round 4).  'full' (save-nothing)
+        halves the saved-residual footprint and is always the most memory-lean
+        policy, so degrade once, warn, and let the caller retry.  Anything
+        that doesn't look like a compile/HBM failure — or a policy already at
+        'full' — re-raises unchanged."""
+        import dataclasses
+
+        msg = str(err)
+        compile_class = any(s in msg for s in (
+            "RESOURCE_EXHAUSTED", "Ran out of memory", "ran out of memory",
+            "remote_compile", "tpu_compile_helper", "Attempting to allocate"))
+        policy = getattr(self.adapter, "remat_policy", "full")
+        if (not compile_class or policy in ("full", "none")
+                or not getattr(self.adapter, "remat", False)):
+            raise err
+        logging.warning(
+            "train step failed to compile under remat policy %r: %s — "
+            "retrying with mesh.remat: full (save-nothing recompute; slower "
+            "but minimal-memory). Set mesh.remat: full in the config to skip "
+            "this probe.", policy, msg[:300])
+        self.adapter = dataclasses.replace(self.adapter, remat_policy="full")
+        step_fn = make_train_step(self.adapter.predict_velocity, criterion,
+                                  optimizer, step_cfg, mesh=self.mesh)
+        if self._params_relaid:
+            # keep the pinned entry layouts — plain jit would re-transpose
+            # the relaid tree every call (3× step time; see
+            # _maybe_relayout_params)
+            fmts = jax.tree.map(lambda x: x.format, self.bundle.dit_params)
+            step_fn = jax.jit(step_fn, donate_argnums=(0,),
+                              in_shardings=(None, fmts, None, None))
+        return step_fn
+
     def _sampler_formats(self, params):
         """Format pytree for make_sampler when the base tree was relaid —
         without the pin, the sampler's jit re-transposes the whole tree on
@@ -347,8 +385,14 @@ class Trainer:
                         logging.info("profiler trace written to %s",
                                      cfg.logging.profile_dir)
                 t_step = time.monotonic()
-                self.state, metrics = step_fn(self.state, self.bundle.dit_params,
-                                              emb, rng)
+                try:
+                    self.state, metrics = step_fn(
+                        self.state, self.bundle.dit_params, emb, rng)
+                except Exception as e:  # compile-class failures only; see helper
+                    step_fn = self._degrade_remat_or_raise(
+                        e, criterion, optimizer, step_cfg)
+                    self.state, metrics = step_fn(
+                        self.state, self.bundle.dit_params, emb, rng)
                 self.global_step += 1
                 # one-step batch prefetch: jit dispatch is async, so stage the
                 # NEXT batch (cache IO / encode / device_put) while the step

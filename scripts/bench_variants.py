@@ -285,15 +285,25 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
 
     if layers == "full":
         cfg = flux.FluxConfig()
-        params = _synthetic_int8_params(cfg)
-        if os.environ.get("QUANT") == "int8dyn":
-            # rename weight-only int8 kernels to the W8A8-dynamic form
+        quant = os.environ.get("QUANT", "")
+        if quant in ("int4", "w4a8", "requant"):
+            # grouped-int4 base (6 GB vs 12 GB int8): the long-sequence /
+            # big-batch fit lever — flash-policy residuals at 832×576 only
+            # fit next to a 6 GB tree (docs/PERF.md round 4)
+            params = _synthetic_int4_params(cfg, flux.init)
+            new_key = {"int4": None, "w4a8": "kernel_q4_dyn",
+                       "requant": "kernel_q4_rq"}[quant]
+        else:
+            params = _synthetic_int8_params(cfg)
+            new_key = "kernel_q_dyn" if quant == "int8dyn" else None
+        if new_key:
             def rename(node):
                 if isinstance(node, dict):
-                    if "kernel_q" in node:
-                        out = dict(node)
-                        out["kernel_q_dyn"] = out.pop("kernel_q")
-                        return out
+                    for old in ("kernel_q", "kernel_q4"):
+                        if old in node:
+                            out = dict(node)
+                            out[new_key] = out.pop(old)
+                            return out
                     return {k: rename(v) for k, v in node.items()}
                 return node
             params = rename(params)
