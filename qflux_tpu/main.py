@@ -117,6 +117,11 @@ def main(argv=None):
         format="%(asctime)s %(process)d %(filename)s:%(lineno)d %(levelname)s %(message)s")
     args = parse_args(argv)
 
+    # before the backend initializes: raise XLA's scoped-VMEM limit so the
+    # folded attention layout's VMEM output placement compiles (tpu_env.py)
+    from qflux_tpu.runtime.tpu_env import configure_scoped_vmem
+    configure_scoped_vmem()
+
     if args.distributed:
         import jax
 

@@ -140,7 +140,20 @@ def _two_row_tile(a, b, d):
 # ---------------------------------------------------------------------------
 # forward kernel: grid (b, h, nq), single K block
 
-def _fwd_nr_kernel(*refs, scale, st, masked, s_int8):
+def _ld(ref, folded):
+    """Strip the leading block-index dims: folded blocks are (1, rows, D)
+    over [B, S, H·D] arrays; unfolded ones (1, 1, rows, D) over [B,H,S,D]."""
+    return ref[0] if folded else ref[0, 0]
+
+
+def _st_ref(ref, val, folded):
+    if folded:
+        ref[0] = val
+    else:
+        ref[0, 0] = val
+
+
+def _fwd_nr_kernel(*refs, scale, st, masked, s_int8, folded):
     if masked:
         (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
          qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -150,12 +163,12 @@ def _fwd_nr_kernel(*refs, scale, st, masked, s_int8):
          qcos_ref, qsin_ref, kcos_ref, ksin_ref,
          o_ref, lse_ref, *scr) = refs
     i = pl.program_id(2)
-    bq = q_ref.shape[2]
+    bq = q_ref.shape[-2]
     dt = q_ref.dtype
 
     @pl.when(i == 0)
     def _():
-        kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+        kn, _, _ = _norm_rope(_ld(k_ref, folded), ks_ref[0], ks_ref[1],
                               kcos_ref[0], ksin_ref[0], 0, st, dt)
         if s_int8:
             kq, ksc = _quant_tile(kn)
@@ -164,7 +177,7 @@ def _fwd_nr_kernel(*refs, scale, st, masked, s_int8):
         else:
             scr[0][...] = kn
 
-    qn, _, _ = _norm_rope(q_ref[0, 0], qs_ref[0], qs_ref[1],
+    qn, _, _ = _norm_rope(_ld(q_ref, folded), qs_ref[0], qs_ref[1],
                           qcos_ref[0], qsin_ref[0], i * bq, st, dt)
     if s_int8:
         # int8 score GEMM: 2x MXU throughput; the scalar tile scales factor
@@ -185,16 +198,25 @@ def _fwd_nr_kernel(*refs, scale, st, masked, s_int8):
     p = jnp.where(ok, jnp.exp(e), 0.0) if masked else jnp.exp(e)
     l = jnp.sum(p, axis=-1)
     l_safe = jnp.where(l == 0.0, 1.0, l) if masked else l
-    acc = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+    acc = jax.lax.dot(p.astype(v_ref.dtype), _ld(v_ref, folded),
                       preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (acc * (1.0 / l_safe)[:, None]).astype(o_ref.dtype)
+    _st_ref(o_ref, (acc * (1.0 / l_safe)[:, None]).astype(o_ref.dtype), folded)
     lse_ref[0, 0, 0] = m + jnp.log(l_safe)
 
 
 def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
-            s_int8=False):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+            s_int8=False, folded=False, n_heads=None):
+    if folded:
+        # q/k/v are [B, S, H·D] (the raw projection-GEMM layout): each grid
+        # step reads a (block_q, D) window at lane offset h·D — no [B,H,S,D]
+        # relayout copies on either side of the kernel
+        b, sq, hd = q.shape
+        h = n_heads
+        d = hd // h
+        sk = k.shape[1]
+    else:
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
     nq = sq // block_q
     masked = q_seg is not None
     seg_specs = [
@@ -205,23 +227,33 @@ def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
     scratch = ([pltpu.VMEM((sk, d), jnp.int8),
                 pltpu.SMEM((1, 1), jnp.float32)] if s_int8
                else [pltpu.VMEM((sk, d), q.dtype)])
+    if folded:
+        q_spec = pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_))
+        kv_spec = pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_))
+        o_spec = pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_))
+    else:
+        q_spec = pl.BlockSpec((1, 1, block_q, d),
+                              lambda b_, h_, i: (b_, h_, i, 0))
+        kv_spec = pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0))
+        o_spec = pl.BlockSpec((1, 1, block_q, d),
+                              lambda b_, h_, i: (b_, h_, i, 0))
     out, lse = pl.pallas_call(
         functools.partial(_fwd_nr_kernel, scale=scale, st=st, masked=masked,
-                          s_int8=s_int8),
+                          s_int8=s_int8, folded=folded),
         grid=(b, h, nq),
         in_specs=seg_specs + [
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            q_spec,
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
             pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
             pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            o_spec,
             pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i: (b_, h_, 0, i)),
         ],
         out_shape=[
@@ -240,7 +272,7 @@ def _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
 # ---------------------------------------------------------------------------
 # merged backward: dq_raw, dk_raw, dv + norm-scale gradient partials
 
-def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
+def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8, folded):
     if masked:
         (qseg_ref, kseg_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref,
          o_ref, lse_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -252,13 +284,13 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
          dq_ref, dk_ref, dv_ref, dqs_ref, dks_ref,
          kn_scr, dkn_scr, dv_scr, dqs_scr, *qscr) = refs
     i = pl.program_id(2)
-    bq = q_ref.shape[2]
-    d = q_ref.shape[3]
+    bq = q_ref.shape[-2]
+    d = q_ref.shape[-1]
     dt = q_ref.dtype
 
     @pl.when(i == 0)
     def _():
-        kn, _, _ = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+        kn, _, _ = _norm_rope(_ld(k_ref, folded), ks_ref[0], ks_ref[1],
                               kcos_ref[0], ksin_ref[0], 0, st, dt)
         kn_scr[...] = kn
         if s_int8:
@@ -269,11 +301,12 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
         dv_scr[...] = jnp.zeros_like(dv_scr)
         dqs_scr[...] = jnp.zeros_like(dqs_scr)
 
-    qn, q_r, q_ssel = _norm_rope(q_ref[0, 0], qs_ref[0], qs_ref[1],
+    qn, q_r, q_ssel = _norm_rope(_ld(q_ref, folded), qs_ref[0], qs_ref[1],
                                  qcos_ref[0], qsin_ref[0], i * bq, st, dt)
     kn = kn_scr[...]
-    do = do_ref[0, 0]
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+    do = _ld(do_ref, folded)
+    delta = jnp.sum(do.astype(jnp.float32)
+                    * _ld(o_ref, folded).astype(jnp.float32),
                     axis=-1)  # [bq]
     if s_int8:
         # same quantization as the forward — the recomputed s (and hence p)
@@ -294,7 +327,7 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, _ld(v_ref, folded), (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = ((p * (dp - delta[:, None])) * scale).astype(dt)
     # grads w.r.t. the ROPED+NORMED q/k …
@@ -303,8 +336,8 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
         ds, qn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     # … then back through rope + norm for THIS q tile
     d_us = _rope_bwd(dqn, qcos_ref[0], qsin_ref[0])
-    dq_raw, dsc_rows = _norm_bwd(d_us, q_r, q_ssel, q_ref[0, 0])
-    dq_ref[0, 0] = dq_raw.astype(dq_ref.dtype)
+    dq_raw, dsc_rows = _norm_bwd(d_us, q_r, q_ssel, _ld(q_ref, folded))
+    _st_ref(dq_ref, dq_raw.astype(dq_ref.dtype), folded)
     sel = (i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)) < st
     dqs_scr[...] += _two_row_tile(
         jnp.sum(jnp.where(sel, dsc_rows, 0.0), axis=0),
@@ -313,13 +346,13 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
     @pl.when(i == num_q - 1)
     def _():
         # k side ONCE, against the accumulated dkn
-        sk = k_ref.shape[2]
-        _, k_r, k_ssel = _norm_rope(k_ref[0, 0], ks_ref[0], ks_ref[1],
+        sk = k_ref.shape[-2]
+        _, k_r, k_ssel = _norm_rope(_ld(k_ref, folded), ks_ref[0], ks_ref[1],
                                     kcos_ref[0], ksin_ref[0], 0, st, dt)
         d_usk = _rope_bwd(dkn_scr[...], kcos_ref[0], ksin_ref[0])
-        dk_raw, dsk_rows = _norm_bwd(d_usk, k_r, k_ssel, k_ref[0, 0])
-        dk_ref[0, 0] = dk_raw.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_raw, dsk_rows = _norm_bwd(d_usk, k_r, k_ssel, _ld(k_ref, folded))
+        _st_ref(dk_ref, dk_raw.astype(dk_ref.dtype), folded)
+        _st_ref(dv_ref, dv_scr[...].astype(dv_ref.dtype), folded)
         dqs_ref[0, 0] = dqs_scr[...]
         ksel = jax.lax.broadcasted_iota(jnp.int32, (sk, 1), 0) < st
         dks_ref[0, 0] = _two_row_tile(
@@ -328,9 +361,15 @@ def _bwd_nr_kernel(*refs, scale, st, num_q, masked, s_int8):
 
 
 def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
-            block_q, st, s_int8=False):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+            block_q, st, s_int8=False, folded=False, n_heads=None):
+    if folded:
+        b, sq, hd = q.shape
+        h = n_heads
+        d = hd // h
+        sk = k.shape[1]
+    else:
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
     nq = sq // block_q
     masked = q_seg is not None
     seg_specs = [
@@ -340,18 +379,25 @@ def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
     seg_args = (q_seg, kv_seg) if masked else ()
     quant_scr = ([pltpu.VMEM((sk, d), jnp.int8),
                   pltpu.SMEM((1, 1), jnp.float32)] if s_int8 else [])
+    if folded:
+        q_spec = pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_))
+        kv_spec = pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_))
+    else:
+        q_spec = pl.BlockSpec((1, 1, block_q, d),
+                              lambda b_, h_, i: (b_, h_, i, 0))
+        kv_spec = pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0))
     dq, dk, dv, dqs_p, dks_p = pl.pallas_call(
         functools.partial(_bwd_nr_kernel, scale=scale, st=st, num_q=nq,
-                          masked=masked, s_int8=s_int8),
+                          masked=masked, s_int8=s_int8, folded=folded),
         grid=(b, h, nq),
         in_specs=seg_specs + [
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
             pl.BlockSpec((2, d), lambda b_, h_, i: (0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            q_spec,
+            kv_spec,
+            kv_spec,
+            q_spec,
+            q_spec,
             pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i: (b_, h_, 0, i)),
             pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
             pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, 0)),
@@ -359,9 +405,9 @@ def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
             pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            q_spec,
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, 1, 8, d), lambda b_, h_, i: (b_, h_, 0, 0)),
             pl.BlockSpec((1, 1, 8, d), lambda b_, h_, i: (b_, h_, 0, 0)),
         ],
@@ -391,6 +437,32 @@ def _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse, do, scale,
 # ---------------------------------------------------------------------------
 # public API
 
+def _fold_default() -> bool:
+    """Folded layout: keep q/k/v in the raw [B, S, H·D] projection layout (a
+    free reshape of the GEMM outputs) and let the kernels window each head at
+    lane offset h·D — no [B,H,S,D] relayout copies around the kernels in
+    forward, recompute, or backward (measured −11 ms on the 512² headline,
+    docs/PERF.md round 4).
+
+    On a REAL TPU backend the folded merged-backward only compiles when the
+    scoped-VMEM limit is raised (XLA places its dq/dk outputs in VMEM —
+    runtime/tpu_env.py), so the default is ON iff that ran (all qflux
+    entrypoints call it) or the user raised the limit themselves; interpret
+    mode (CPU tests/mesh) has no such constraint.  ``QFLUX_NR_FOLD=0/1``
+    overrides either way.
+    """
+    import os
+
+    flag = os.environ.get("QFLUX_NR_FOLD")
+    if flag is not None:
+        return flag != "0"
+    if _interpret():
+        return True
+    from qflux_tpu.runtime.tpu_env import scoped_vmem_raised
+
+    return scoped_vmem_raised()
+
+
 def apply_qk_norm_rope(x, scale2, cos, sin, st, eps=EPS):
     """XLA reference / fallback: per-head RMSNorm (scale2[0] for positions
     < st, scale2[1] after) then rotate-half rope.  x [B,S,H,D]; cos/sin
@@ -412,27 +484,28 @@ def apply_qk_norm_rope(x, scale2, cos, sin, st, eps=EPS):
     return (us * cb + rot * sb).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _flash_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
-              s_int8):
+              s_int8, folded, n_heads):
     out, _ = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                     block_q, st, s_int8)
+                     block_q, st, s_int8, folded, n_heads)
     return out
 
 
 def _flash_nr_fwd(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q,
-                  st, s_int8):
+                  st, s_int8, folded, n_heads):
     out, lse = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                       block_q, st, s_int8)
+                       block_q, st, s_int8, folded, n_heads)
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse)
 
 
-def _flash_nr_bwd(scale, block_q, st, s_int8, res, do):
+def _flash_nr_bwd(scale, block_q, st, s_int8, folded, n_heads, res, do):
     q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse = res
     dq, dk, dv, dqs, dks = _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg,
-                                   out, lse, do, scale, block_q, st, s_int8)
+                                   out, lse, do, scale, block_q, st, s_int8,
+                                   folded, n_heads)
     return (dq, dk, dv, dqs.astype(qs.dtype), dks.astype(ks.dtype),
             jnp.zeros_like(cos), jnp.zeros_like(sin), None, None)
 
@@ -470,11 +543,21 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
     cos = jnp.broadcast_to(cos.astype(jnp.float32), (b, sq, d))
     sin = jnp.broadcast_to(sin.astype(jnp.float32), (b, sq, d))
 
-    t4 = lambda x: jnp.pad(x, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    folded = _fold_default()
+
     t3 = lambda x: jnp.pad(x, ((0, 0), (0, pq), (0, 0)))
-    qt = checkpoint_name(t4(q), "flash_q")
-    kt = checkpoint_name(t4(k), "flash_k")
-    vt = checkpoint_name(t4(v), "flash_v")
+    if folded:
+        fold = lambda x: jnp.pad(
+            x, ((0, 0), (0, pq), (0, 0), (0, 0))).reshape(b, sq + pq, h * d)
+        qt = checkpoint_name(fold(q), "flash_q")
+        kt = checkpoint_name(fold(k), "flash_k")
+        vt = checkpoint_name(fold(v), "flash_v")
+    else:
+        t4 = lambda x: jnp.pad(
+            x, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+        qt = checkpoint_name(t4(q), "flash_q")
+        kt = checkpoint_name(t4(k), "flash_k")
+        vt = checkpoint_name(t4(v), "flash_v")
 
     unmasked = segment_ids is None and kv_segment_ids is None
     if unmasked and pq == 0:
@@ -487,5 +570,7 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
         qseg = jnp.pad(seg, ((0, 0), (0, pq)))[:, None, :]
 
     out = _flash_nr(qt, kt, vt, q_scale2, k_scale2, t3(cos), t3(sin),
-                    qseg, qseg, scale, block_q, st, bool(s_int8))
+                    qseg, qseg, scale, block_q, st, bool(s_int8), folded, h)
+    if folded:
+        return out[:, :sq].reshape(b, sq, h, d)
     return out.transpose(0, 2, 1, 3)[:, :sq]

@@ -39,6 +39,7 @@ from qflux_tpu.losses import AttentionMaskMseLoss
 from qflux_tpu.ops.layers import build_lora_tree, merge_lora
 from qflux_tpu.parallel import MeshConfig, build_mesh, shard_pytree
 from qflux_tpu.parallel.partitioning import mmdit_rules
+from qflux_tpu.runtime.tpu_env import configure_scoped_vmem
 from qflux_tpu.scheduler.flow_match import FlowMatchScheduler
 from qflux_tpu.trainer.sampling import SamplingConfig, make_sampler
 from qflux_tpu.trainer.train_step import (
@@ -80,6 +81,10 @@ def get_git_info() -> dict:
 
 class Trainer:
     def __init__(self, config: Config):
+        # must precede the first backend touch (build_mesh): raises XLA's
+        # scoped-VMEM limit for the folded attention layout (tpu_env.py);
+        # no-op (and folded stays off) if the backend already initialized
+        configure_scoped_vmem()
         self.config = config
         self.adapter_cls = resolve_symbol(ADAPTERS[config.trainer.value])
         self.mesh = build_mesh(MeshConfig(

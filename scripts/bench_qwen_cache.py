@@ -165,6 +165,9 @@ def run(lm_quant: str = "int8", hw: int = 512, n_iters: int = 8):
 def main():
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
 
+    from qflux_tpu.runtime.tpu_env import configure_scoped_vmem
+    configure_scoped_vmem()
+
     import jax
 
     cache_dir = os.environ.get("QFLUX_COMPILE_CACHE",
@@ -172,7 +175,10 @@ def main():
     if cache_dir and cache_dir != "0" and jax.default_backend() == "tpu":
         jax.config.update("jax_compilation_cache_dir", os.path.join(cache_dir, "tpu"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    run(kv.get("lm", "int8"), int(kv.get("hw", 512)), int(kv.get("iters", 8)))
+    sps = run(kv.get("lm", "int8"), int(kv.get("hw", 512)),
+              int(kv.get("iters", 8)))
+    # machine-readable line for bench.py's subprocess harness
+    print(f"QWEN_CACHE_SAMPLES_PER_S={sps:.4f}", flush=True)
 
 
 if __name__ == "__main__":

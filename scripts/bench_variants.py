@@ -399,6 +399,8 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
 
 if __name__ == "__main__":
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    from qflux_tpu.runtime.tpu_env import configure_scoped_vmem
+    configure_scoped_vmem()
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon TPU plugin registers at discovery and ignores the env var;
         # honor an explicit cpu request (same dance as bench.py)

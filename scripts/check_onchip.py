@@ -29,6 +29,11 @@ def rel_err(a, b):
 
 
 def main() -> int:
+    # production preamble: raise the scoped-VMEM limit before backend init so
+    # the folded flash_nr layout (the entrypoint default) is what gets checked
+    from qflux_tpu.runtime.tpu_env import configure_scoped_vmem
+    configure_scoped_vmem()
+
     import jax
     import jax.numpy as jnp
 

@@ -163,3 +163,35 @@ def test_s_int8_supports_and_dispatch():
                                  impl="int8")
     ref = _oracle(q, k, v, qs2, ks2, cos, sin)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_folded_layout_matches_legacy(masked, monkeypatch):
+    """The folded [B,S,H·D] kernel layout (default) and the legacy
+    [B,H,S,D]-transposed layout are the same kernel math over different
+    BlockSpec windows — values and every gradient must agree."""
+    q, k, v, qs2, ks2, cos, sin, do = _inputs(8)
+    seg = None
+    if masked:
+        s = np.ones((B, S), np.int32)
+        s[0, 200:] = 0
+        seg = jnp.asarray(s)
+
+    def loss(q_, k_, v_, a_, b_):
+        return jnp.sum(flash_attention_nr(q_, k_, v_, a_, b_, cos, sin, ST,
+                                          segment_ids=seg) * do)
+
+    monkeypatch.setenv("QFLUX_NR_FOLD", "1")
+    out_f = flash_attention_nr(q, k, v, qs2, ks2, cos, sin, ST,
+                               segment_ids=seg)
+    g_f = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, qs2, ks2)
+    monkeypatch.setenv("QFLUX_NR_FOLD", "0")
+    out_l = flash_attention_nr(q, k, v, qs2, ks2, cos, sin, ST,
+                               segment_ids=seg)
+    g_l = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, qs2, ks2)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_l),
+                               atol=1e-6)
+    for gf, gl, name in zip(g_f, g_l, ("dq", "dk", "dv", "dqs", "dks")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gl), atol=2e-5,
+                                   err_msg=name)
