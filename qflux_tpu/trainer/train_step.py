@@ -261,6 +261,15 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
                             [f for _, _, f in group], donate=donate)
         for (i, _, _), y in zip(group, ys):
             out[i] = y
+    # Post-verify (metadata only, no transfers): a layout disagreement here
+    # would crash the first step call with an opaque XLA error. Observed once
+    # on the tunnel backend under a concurrent client — re-put the stragglers
+    # individually (never donated: the source may be the caller's only copy).
+    for i, f in enumerate(fmt_leaves):
+        if getattr(out[i], "format", None) != f:
+            logger.warning("relayout: leaf %d came back in the wrong layout; "
+                           "re-issuing device_put", i)
+            out[i] = jax.device_put(out[i], f)
     return compiled, jax.tree.unflatten(treedef, out)
 
 
