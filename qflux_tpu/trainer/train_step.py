@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Any, Callable
 
 import jax
@@ -33,6 +34,8 @@ from flax import struct
 from qflux_tpu.ops.layers import merge_lora
 from qflux_tpu.scheduler.flow_match import FlowMatchScheduler, sample_training_sigmas
 from qflux_tpu.scheduler.weighting import weights_for_sigmas
+
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -261,16 +264,29 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
                             [f for _, _, f in group], donate=donate)
         for (i, _, _), y in zip(group, ys):
             out[i] = y
-    # Post-verify (metadata only, no transfers): a layout disagreement here
-    # would crash the first step call with an opaque XLA error. Observed once
-    # on the tunnel backend under a concurrent client — re-put the stragglers
-    # individually (never donated: the source may be the caller's only copy).
+    _fix_straggler_layouts(out, fmt_leaves)
+    return compiled, jax.tree.unflatten(treedef, out)
+
+
+def _fix_straggler_layouts(out, fmt_leaves, device_put=None):
+    """Post-verify (metadata only, no transfers): a layout disagreement after
+    the batched relayout would crash the first step call with an opaque XLA
+    error. Observed once on the tunnel backend under a concurrent client —
+    re-put the stragglers individually (never donated: the source may be the
+    caller's only copy). Mutates `out` in place and returns it.
+
+    Regression guard: this branch FIRED on the round-4 driver bench and the
+    then-undefined `logger` turned recovery into a NameError that nulled the
+    20B Qwen headline (BENCH_r04.json) — keep it covered by
+    tests/trainer/test_auto_layout.py::test_straggler_relayout_recovers.
+    """
+    put = jax.device_put if device_put is None else device_put
     for i, f in enumerate(fmt_leaves):
         if getattr(out[i], "format", None) != f:
             logger.warning("relayout: leaf %d came back in the wrong layout; "
                            "re-issuing device_put", i)
-            out[i] = jax.device_put(out[i], f)
-    return compiled, jax.tree.unflatten(treedef, out)
+            out[i] = put(out[i], f)
+    return out
 
 
 def make_lr_schedule(base_lr: float, scheduler_type: str = "constant",

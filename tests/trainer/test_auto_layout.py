@@ -93,6 +93,42 @@ def test_gate_stays_off_on_cpu(tmp_path, img_dir, monkeypatch):
     assert int(state.step) == 2
 
 
+def test_straggler_relayout_recovers(caplog):
+    """Round-4 regression: the post-verify straggler branch (a relaid leaf
+    coming back in the wrong layout, observed on the tunnel backend) crashed
+    with `NameError: name 'logger' is not defined` instead of re-issuing the
+    device_put — nulling the 20B Qwen headline in BENCH_r04.json. Force the
+    branch with a format mismatch and assert it RECOVERS: warning logged,
+    re-put issued exactly for the straggler, result carries the wanted format."""
+    import logging
+
+    from qflux_tpu.trainer.train_step import _fix_straggler_layouts
+
+    class Leaf:
+        def __init__(self, fmt):
+            self.format = fmt
+
+    wanted = ["f0", "f1", "f2"]
+    out = [Leaf("f0"), Leaf("WRONG"), Leaf("f2")]
+    calls = []
+
+    def fake_put(x, f):
+        calls.append((x, f))
+        return Leaf(f)
+
+    with caplog.at_level(logging.WARNING, "qflux_tpu.trainer.train_step"):
+        fixed = _fix_straggler_layouts(out, wanted, device_put=fake_put)
+
+    assert [x.format for x in fixed] == wanted
+    assert len(calls) == 1 and calls[0][1] == "f1"
+    assert fixed[0] is out[0] and fixed[2] is out[2]  # matches untouched
+    assert any("wrong layout" in r.message for r in caplog.records)
+    # the default path must resolve a real device_put (the bug was an
+    # undefined module-level name, invisible to CPU happy-path tests)
+    from qflux_tpu.trainer import train_step as ts
+    assert ts.logger.name == "qflux_tpu.trainer.train_step"
+
+
 def test_chunk_by_bytes_grouping():
     """The relayout mover batches leaves into byte-bounded device_put calls:
     greedy fill, oversize single leaves get their own group, order preserved."""
