@@ -262,6 +262,12 @@ def main():
                 if m:
                     qwen_cache_sps = round(float(m.group(1)), 2)
                     break
+                if "QWEN_CACHE_NOT_FIT=1" in proc.stdout:
+                    # deterministic not-fit: retrying would burn another full
+                    # attempt on the same answer
+                    print("qwen cache bench: config does not fit — skipping",
+                          file=sys.stderr)
+                    break
                 print(f"qwen cache bench attempt {attempt} produced no "
                       f"number (rc={proc.returncode}): "
                       f"{proc.stdout[-200:]!r} {proc.stderr[-200:]!r}",

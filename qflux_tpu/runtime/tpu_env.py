@@ -47,11 +47,21 @@ def configure_scoped_vmem(kib: int = SCOPED_VMEM_KIB) -> bool:
     if marker is not None:
         if marker in ("0", ""):  # explicit opt-out (A/B escape hatch)
             return False
-        kib = int(marker)  # pre-seeded value wins (and may already be live)
+        if marker.isdigit():  # pre-seeded value wins (and may already be live)
+            kib = int(marker)
+        # a non-numeric marker (corrupt re-export) is ignored, not a crash:
+        # fall through and re-derive it from the flag / default
     args = os.environ.get("LIBTPU_INIT_ARGS", "")
     if _FLAG in args:  # the flag is already live — record its value
-        os.environ[_MARKER] = args.split(f"{_FLAG}=", 1)[1].split()[0]
-        return True
+        # tolerate a malformed flag (bare / space-separated, no "=value"):
+        # libtpu ignores it, so record nothing rather than crash the
+        # entrypoint preamble — scoped_vmem_raised() then stays False
+        tail = args.split(f"{_FLAG}=", 1)
+        val = tail[1].split()[0] if len(tail) == 2 else ""
+        if val.isdigit() and val != "0":
+            os.environ[_MARKER] = val
+            return True
+        return False
     if _backend_up():
         # too late: the TPU backend snapshotted the env — stay at the
         # conservative default rather than lie to scoped_vmem_raised()
@@ -62,8 +72,14 @@ def configure_scoped_vmem(kib: int = SCOPED_VMEM_KIB) -> bool:
 
 
 def scoped_vmem_raised() -> bool:
-    """True when the scoped-VMEM limit is (believed) live: the flag is in
-    LIBTPU_INIT_ARGS — set by :func:`configure_scoped_vmem` or by the user
-    before launch — and the marker wasn't zeroed as an explicit opt-out."""
-    return (_FLAG in os.environ.get("LIBTPU_INIT_ARGS", "")
-            and os.environ.get(_MARKER) not in ("0", ""))
+    """True when the scoped-VMEM limit is VERIFIED live: the flag is in
+    LIBTPU_INIT_ARGS AND the numeric marker was recorded by
+    :func:`configure_scoped_vmem` — which refuses to set it when the TPU
+    backend had already initialized (the flag would be dead) or when the
+    flag value is malformed. A bare env flag exported after backend init
+    must NOT default the folded layout on: the merged backward would then
+    die at compile time with "Scoped allocation exceeded scoped vmem
+    limit" and no remat fallback recognizes that error class."""
+    marker = os.environ.get(_MARKER, "")
+    return (marker.isdigit() and marker != "0"
+            and _FLAG in os.environ.get("LIBTPU_INIT_ARGS", ""))

@@ -289,6 +289,19 @@ class Trainer:
         if (not compile_class or policy in ("full", "none")
                 or not getattr(self.adapter, "remat", False)):
             raise err
+        # The step jits with donate_argnums=(0,): a RUNTIME allocation failure
+        # raised after dispatch began has already consumed the donated state
+        # buffers, and retrying on deleted arrays would crash with "Array has
+        # been deleted", masking the real error. Only compile-stage failures
+        # (raised before execution, state untouched) are retryable — verify
+        # liveness rather than trusting the error-string match.
+        if any(getattr(leaf, "is_deleted", lambda: False)()
+               for leaf in jax.tree.leaves(self.state)):
+            logging.error(
+                "train step failed with a memory error AFTER its donated "
+                "state was consumed — cannot retry with a degraded remat "
+                "policy; set mesh.remat: full in the config and rerun")
+            raise err
         logging.warning(
             "train step failed to compile under remat policy %r: %s — "
             "retrying with mesh.remat: full (save-nothing recompute; slower "

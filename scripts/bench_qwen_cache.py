@@ -177,8 +177,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     sps = run(kv.get("lm", "int8"), int(kv.get("hw", 512)),
               int(kv.get("iters", 8)))
-    # machine-readable line for bench.py's subprocess harness
-    print(f"QWEN_CACHE_SAMPLES_PER_S={sps:.4f}", flush=True)
+    # machine-readable lines for bench.py's subprocess harness: a not-fit
+    # result is deterministic — emit a distinct marker bench.py treats as
+    # non-retryable instead of crashing on the f-string (None has no :.4f)
+    if sps is None:
+        print("QWEN_CACHE_NOT_FIT=1", flush=True)
+    else:
+        print(f"QWEN_CACHE_SAMPLES_PER_S={sps:.4f}", flush=True)
 
 
 if __name__ == "__main__":

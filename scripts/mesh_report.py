@@ -27,6 +27,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+# must cover every transformer remat_policy a config value can map to
+# (trainer.flux_kontext.remat_policy_from_config) — kept in sync by
+# tests/trainer/test_plan_cli.py::test_plan_remat_vocab_in_sync
+REMAT_CHOICES = ["none", "dots", "full", "flash", "flash_qkv", "flash_mlp",
+                 "flash_single"]
+
+
 def parse_mesh(spec: str) -> dict[str, int]:
     axes = {}
     for part in spec.split(","):
@@ -54,9 +61,7 @@ def main(argv=None) -> None:
                     choices=[None, "int8", "int8_dynamic", "int4",
                              "int4_dynamic", "int4_requant", "fp8_e4m3",
                              "fp8_e5m2"])
-    ap.add_argument("--remat", default="flash",
-                    choices=["none", "dots", "full", "flash", "flash_qkv",
-                             "flash_mlp"])
+    ap.add_argument("--remat", default="flash", choices=REMAT_CHOICES)
     ap.add_argument("--lora-rank", type=int, default=16)
     ap.add_argument("--json", action="store_true", help="one JSON line per mesh")
     args = ap.parse_args(argv)

@@ -35,7 +35,8 @@ SLOW_NODE_PATTERNS = [
     "tests/parallel/test_multiprocess.py::*",          # real 2-OS-process fits
     "tests/test_graft_entry.py::*",                    # driver-contract compiles
     "tests/parallel/test_planner.py::*",               # AOT full-step compiles
-    "tests/trainer/test_plan_cli.py::*",
+    "tests/trainer/test_plan_cli.py::test_plan_preflight_from_config",
+    "tests/ops/test_ring_attention.py::test_train_step_sp2_fsdp2*",
     "tests/ops/test_int8_dynamic.py::test_quant_quality_three_way_tiny",
     "tests/ops/test_int8_dynamic.py::test_w8a8_training_converges_like_fp32",
     "tests/models/test_qwen_stack.py::test_qwen_vae_roundtrip_shapes",

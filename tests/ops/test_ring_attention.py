@@ -129,6 +129,68 @@ def test_train_step_sp2_matches_sp1():
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
 
 
+def test_train_step_sp2_fsdp2_sharded_base_matches_replicated():
+    """Ring attention composed with an FSDP-SHARDED frozen base — the
+    realistic long-sequence pod configuration (VERDICT r4 #6: sp had only
+    ever run with replicated weights).  A dp2xfsdp2xsp2 train step with
+    shard_pytree(mmdit_rules()) base params must match the same step with a
+    fully replicated base bit-for-tolerance."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qflux_tpu.losses import MseLoss
+    from qflux_tpu.models.flux import transformer as flux
+    from qflux_tpu.ops.layers import build_lora_tree
+    from qflux_tpu.parallel import MeshConfig, build_mesh, shard_pytree
+    from qflux_tpu.parallel.partitioning import mmdit_rules
+    from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+    from qflux_tpu.trainer.train_step import (TrainState, TrainStepConfig,
+                                              make_train_step)
+    from qflux_tpu.ops.rope import flux_image_ids, flux_text_ids
+
+    cfg = flux.FluxConfig.tiny()
+    params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lora = jax.tree.map(np.asarray, build_lora_tree(
+        jax.random.PRNGKey(1), params, [r"attn/(to_q|to_v)"], rank=4, alpha=4))
+    h = w = 8
+    bsz = 4  # divides dp*fsdp = 4
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    batch = {
+        "image_latents": jax.random.normal(ks[0], (bsz, h * w, cfg.in_channels)),
+        "control_latents": jax.random.normal(ks[1], (bsz, h * w, cfg.in_channels)),
+        "prompt_embeds": jax.random.normal(ks[2], (bsz, 8, cfg.joint_attention_dim)),
+        "pooled_prompt_embeds": jax.random.normal(ks[3], (bsz, cfg.pooled_projection_dim)),
+        "img_ids": jnp.asarray(np.concatenate([flux_image_ids(h, w, 0),
+                                               flux_image_ids(h, w, 1)])),
+        "txt_ids": jnp.asarray(flux_text_ids(8)),
+    }
+    opt = optax.sgd(1e-3)
+    results = {}
+    for name in ("replicated", "fsdp_sharded"):
+        mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=1, sp=2))
+        if name == "fsdp_sharded":
+            base = shard_pytree(params, mmdit_rules(), mesh)
+            # at least one kernel must actually be split over fsdp for the
+            # test to mean anything
+            shardings = {s.spec for s in jax.tree.leaves(
+                jax.tree.map(lambda x: x.sharding, base))}
+            assert any(s != P() for s in shardings), shardings
+        else:
+            base = jax.device_put(params, NamedSharding(mesh, P()))
+        adapter = FluxKontextAdapter(cfg, attn_impl="auto", remat=False)
+        step = make_train_step(adapter.predict_velocity, MseLoss(), opt,
+                               TrainStepConfig(max_grad_norm=0), mesh=mesh)
+        state = TrainState.create(jax.tree.map(jnp.asarray, lora), opt)
+        state, m = step(state, base, batch, jax.random.PRNGKey(3))
+        results[name] = (float(m["loss"]), jax.tree.map(np.asarray, state.lora))
+    build_mesh(MeshConfig(dp=1, fsdp=1))  # restore an sp=1 active mesh
+    np.testing.assert_allclose(results["replicated"][0],
+                               results["fsdp_sharded"][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results["replicated"][1]),
+                    jax.tree.leaves(results["fsdp_sharded"][1])):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+
 def test_ring_kernel_hop_path_matches_sdpa(sp_mesh, monkeypatch):
     """The Pallas-kernel hop path (TPU default; interpret mode here) must
     match SDPA for values AND the custom-VJP gradients, with segments."""

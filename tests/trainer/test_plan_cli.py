@@ -12,6 +12,30 @@ import yaml
 REPO = Path(__file__).parents[2]
 
 
+def test_plan_remat_vocab_in_sync():
+    """Every mesh.remat value the config accepts must map (via
+    remat_policy_from_config) into mesh_report.py's --remat choices —
+    round 4 added flash_single to the config but not to the planner CLI,
+    so `--plan` crashed for exactly the long-sequence configs that most
+    need a preflight check."""
+    import typing
+
+    from qflux_tpu.config import MeshSection
+    from qflux_tpu.trainer.flux_kontext import remat_policy_from_config
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import mesh_report
+    finally:
+        sys.path.pop(0)
+
+    cfg_values = typing.get_args(MeshSection.model_fields["remat"].annotation)
+    for v in cfg_values:
+        if v == "none":
+            continue  # --plan special-cases none before the subprocess
+        assert remat_policy_from_config(v) in mesh_report.REMAT_CHOICES, v
+
+
 def test_plan_preflight_from_config(tmp_path):
     cfg = {
         "trainer": "FluxKontextLoraTrainer",

@@ -102,6 +102,46 @@ def test_non_compile_error_reraises(tmp_path, img_dir):
         _fit(tmp_path, img_dir, ValueError("user bug in the loss"))
 
 
+def test_runtime_oom_after_donation_reraises(tmp_path, img_dir, caplog):
+    """A memory error raised AFTER the donated state buffers were consumed
+    (runtime allocation failure, not a compile-stage one) must re-raise the
+    original error instead of retrying the rebuilt step on deleted arrays
+    (which would crash with 'Array has been deleted' and mask the cause)."""
+    import unittest.mock as mock
+
+    err = RuntimeError("RESOURCE_EXHAUSTED: Attempting to allocate 4.21G")
+    real = base_mod.make_train_step
+    calls = {"n": 0}
+    trainer_box = {}
+
+    def fake(predict, criterion, optimizer, step_cfg, mesh=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            def exploding(*a, **k):
+                # simulate donate_argnums=(0,) consuming the state before
+                # the runtime failure surfaced
+                for leaf in jax.tree.leaves(trainer_box["t"].state):
+                    leaf.delete()
+                raise err
+            return exploding
+        return real(predict, criterion, optimizer, step_cfg, mesh=mesh)
+
+    import jax
+
+    cfg = _config(tmp_path, img_dir)
+    proc = ImageProcessor(cfg.data.processor)
+    ds = ImageDataset(dataset_path=str(img_dir), processor=proc,
+                      use_cache=False)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    trainer = Trainer(cfg)
+    trainer_box["t"] = trainer
+    with mock.patch.object(base_mod, "make_train_step", fake), \
+            pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        trainer.fit(dl)
+    assert calls["n"] == 1  # no retry was attempted on the dead state
+    assert "donated" in caplog.text
+
+
 def test_full_policy_never_retries(tmp_path, img_dir):
     """A compile-class failure under remat=full is terminal (nothing leaner
     to degrade to) — no infinite retry loop."""
