@@ -79,6 +79,7 @@ class FlowMatchScheduler:
         max_image_seq_len: int = MAX_IMAGE_SEQ_LEN,
         base_shift: float = BASE_SHIFT,
         max_shift: float = MAX_SHIFT,
+        shift_terminal: float | None = None,
     ):
         self.num_train_timesteps = num_train_timesteps
         self.shift = shift
@@ -87,6 +88,7 @@ class FlowMatchScheduler:
         self.max_image_seq_len = max_image_seq_len
         self.base_shift = base_shift
         self.max_shift = max_shift
+        self.shift_terminal = shift_terminal
 
     # -- planning (host, static) ------------------------------------------
 
@@ -105,8 +107,62 @@ class FlowMatchScheduler:
             sigmas = time_shift(mu, 1.0, sigmas)
         else:
             sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
+        if self.shift_terminal:
+            # stretch so the schedule terminates at σ = shift_terminal instead
+            # of σ_min (diffusers FlowMatch `stretch_shift_to_terminal`; the
+            # reference reaches it through scheduler config passthrough)
+            one_minus = 1.0 - sigmas
+            scale = one_minus[-1] / (1.0 - self.shift_terminal)
+            sigmas = 1.0 - one_minus / scale
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
         return SamplerPlan(sigmas=sigmas, timesteps=sigmas[:-1] * self.num_train_timesteps)
+
+    def train_timesteps(
+        self,
+        num_timesteps: int,
+        timestep_type: str = "linear",
+        rng: np.random.Generator | None = None,
+        alpha: float = 0.75,
+        image_seq_len: int | None = None,
+    ) -> np.ndarray:
+        """Training-time timestep grids (descending, host-side numpy) —
+        parity with the reference's `set_train_timesteps`
+        (reference custom_flowmatch_scheduler.py:112-209):
+
+        * "linear"/"weighted": linspace(1000, 1, n) — "weighted" uses the same
+          grid; only the loss weights differ (weighting.weights_for_sigmas).
+        * "sigmoid": t = 1000·(1 − sigmoid(z)), z ~ N(0,1), sorted descending
+          (center-biased).
+        * "shift": the dynamic/static-shift grid — identical math to
+          `sampling_plan(n, image_seq_len).timesteps`.
+        * "lognorm_blend": α·n draws t = (1 − x/max(x))·1000 with
+          x ~ LogNormal(0, 0.333), blended with (1−α)·n linear steps, sorted
+          descending, truncated to int.
+
+        Randomized types use numpy's Generator — distributionally identical
+        to the reference's torch draws (asserted against captured goldens in
+        tests/scheduler/test_sampler_goldens.py), not bit-equal.
+        """
+        if timestep_type in ("linear", "weighted"):
+            return np.linspace(1000.0, 1.0, num_timesteps, dtype=np.float32)
+        if timestep_type == "sigmoid":
+            if rng is None:
+                raise ValueError("sigmoid grid needs an rng")
+            t = 1.0 / (1.0 + np.exp(-rng.standard_normal(num_timesteps)))
+            return np.sort((1.0 - t) * 1000.0)[::-1].astype(np.float32)
+        if timestep_type == "shift":
+            return self.sampling_plan(
+                num_timesteps, image_seq_len=image_seq_len).timesteps
+        if timestep_type == "lognorm_blend":
+            if rng is None:
+                raise ValueError("lognorm_blend grid needs an rng")
+            n1 = int(num_timesteps * alpha)
+            x = rng.lognormal(mean=0.0, sigma=0.333, size=n1)
+            t1 = (1.0 - x / x.max()) * 1000.0
+            t2 = np.linspace(1000.0, 1.0, int(num_timesteps * (1 - alpha)))
+            ts = np.sort(np.concatenate([t1, t2]))[::-1]
+            return ts.astype(np.int64).astype(np.float32)
+        raise ValueError(f"invalid timestep type {timestep_type!r}")
 
     # -- training-time noising (device, pure) ------------------------------
 
