@@ -138,8 +138,12 @@ class MeshSection(StrictModel):
     # recompute on the dual blocks): the long-sequence middle ground when
     # 'flash' residuals exceed HBM (Qwen has no dual/single split — there
     # it behaves exactly like flash)
+    # flash_offload = flash, but the saved kernel outputs are parked in HOST
+    # memory across fwd→bwd instead of HBM — the 16 GB-chip escape hatch for
+    # long-sequence buckets where even flash_single fails memory assignment
+    # (832×576 next to a 12 GB int8 base; trades PCIe bandwidth for HBM)
     remat: Literal["none", "minimal", "full", "flash", "flash_mlp",
-                   "flash_single"] = "flash"
+                   "flash_single", "flash_offload"] = "flash"
 
 
 class LoraSection(StrictModel):

@@ -332,6 +332,17 @@ def forward(
                   # HBM next to a 12 GB base (docs/PERF.md round 4)
                   "flash_single": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "mod_out"),
+                  # flash residuals parked in HOST memory across fwd→bwd:
+                  # zero HBM residual footprint for the attention outputs,
+                  # backward prefetches them back over PCIe — the escape
+                  # hatch when flash/flash_single exceed HBM at long
+                  # sequences (docs/PERF.md 832×576 wall)
+                  "flash_offload":
+                      jax.checkpoint_policies.save_and_offload_only_these_names(
+                          names_which_can_be_saved=[],
+                          names_which_can_be_offloaded=[
+                              "flash_out", "flash_lse", "mod_out"],
+                          offload_src="device", offload_dst="pinned_host"),
                   "full": None}[remat_policy]
         dual_policy = None if remat_policy == "flash_single" else policy
         dual_fn = jax.checkpoint(dual_fn, prevent_cse=False, policy=dual_policy)

@@ -256,6 +256,14 @@ def forward(
                   # no dual/single split in this architecture — same as flash
                   "flash_single": jax.checkpoint_policies.save_only_these_names(
                       "flash_out", "flash_lse", "mod_out"),
+                  # flash residuals parked in HOST memory across fwd→bwd
+                  # (see models/flux/transformer.py for the rationale)
+                  "flash_offload":
+                      jax.checkpoint_policies.save_and_offload_only_these_names(
+                          names_which_can_be_saved=[],
+                          names_which_can_be_offloaded=[
+                              "flash_out", "flash_lse", "mod_out"],
+                          offload_src="device", offload_dst="pinned_host"),
                   "full": None}[remat_policy]
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

@@ -62,8 +62,8 @@ class ModelBundle:
 def remat_policy_from_config(remat_cfg: str) -> str:
     """mesh.remat YAML value → transformer remat_policy name."""
     return {"minimal": "dots", "full": "full", "flash": "flash",
-            "flash_mlp": "flash_mlp",
-            "flash_single": "flash_single"}.get(remat_cfg, "flash")
+            "flash_mlp": "flash_mlp", "flash_single": "flash_single",
+            "flash_offload": "flash_offload"}.get(remat_cfg, "flash")
 
 
 def attn_impl_from_config(config) -> str:

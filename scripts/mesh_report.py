@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 # (trainer.flux_kontext.remat_policy_from_config) — kept in sync by
 # tests/trainer/test_plan_cli.py::test_plan_remat_vocab_in_sync
 REMAT_CHOICES = ["none", "dots", "full", "flash", "flash_qkv", "flash_mlp",
-                 "flash_single"]
+                 "flash_single", "flash_offload"]
 
 
 def parse_mesh(spec: str) -> dict[str, int]:

@@ -93,6 +93,46 @@ def test_flash_mlp_policy_trains_tiny_flux_exactly():
     np.testing.assert_allclose(l_mlp, l_flash, rtol=1e-5)
 
 
+def test_flash_offload_policy_trains_tiny_flux_exactly():
+    """remat_policy=flash_offload (flash residuals parked in host memory
+    across fwd→bwd — the 16 GB-chip escape hatch for the 832×576 wall) must
+    reproduce the flash-policy loss trajectory exactly: offload only moves
+    residuals, never changes values."""
+    import optax
+
+    from qflux_tpu.losses import MseLoss
+    from qflux_tpu.models.flux import transformer as flux
+    from qflux_tpu.ops.layers import build_lora_tree
+    from qflux_tpu.trainer.flux_kontext import FluxKontextAdapter
+    from qflux_tpu.trainer.train_step import (TrainState, TrainStepConfig,
+                                              make_train_step)
+    from __graft_entry__ import _flux_inputs
+
+    cfg = flux.FluxConfig.tiny()
+    params = flux.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    batch = _flux_inputs(cfg, batch=1, grid_h=4, grid_w=4, txt_len=8,
+                         dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def losses(policy):
+        adapter = FluxKontextAdapter(cfg, attn_impl="xla", remat=True,
+                                     remat_policy=policy)
+        opt = optax.adamw(1e-3)
+        step = make_train_step(adapter.predict_velocity, MseLoss(), opt,
+                               TrainStepConfig())
+        lora = build_lora_tree(jax.random.PRNGKey(1), params,
+                               [r"attn/(to_q|to_k|to_v)"], rank=2, alpha=2)
+        state = TrainState.create(lora, opt)
+        out = []
+        for _ in range(3):
+            state, m = step(state, params, batch, rng)
+            out.append(float(m["loss"]))
+        return out
+
+    np.testing.assert_allclose(losses("flash_offload"), losses("flash"),
+                               rtol=1e-5)
+
+
 def test_flash_single_policy_trains_tiny_flux_exactly():
     """remat_policy=flash_single (flash saves on single blocks, full
     recompute on dual blocks — the long-sequence HBM middle ground) must
