@@ -220,11 +220,13 @@ def main():
     #    0.158/chip. Denominator 0.2 rounds the reference UP (conservative
     #    multiple for us); full derivation in docs/PERF.md.
     qwen_fps = None
+    qwen_bs2_fps = None
+    qwen_bs2_policy = None
     if on_tpu:
-        try:
-            from scripts.bench_variants import run_qwen_variant
-            import io, contextlib, re as _re
+        from scripts.bench_variants import run_qwen_variant
+        import io, contextlib, re as _re
 
+        try:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 run_qwen_variant("flash", 1, "requant", n_iters=6)
@@ -239,6 +241,25 @@ def main():
             print(f"qwen20b bench skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
             qwen_fps = None
+        # bs=2 — every reference Qwen row is batch 2 (reference
+        # README.md:617-626). Remat-policy ladder: if the flash residuals
+        # don't fit next to the int4 tree at bs=2, step down to leaner
+        # (then host-offloaded) policies before giving up.
+        try:
+            for pol in ("flash", "flash_single", "flash_offload", "full"):
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    run_qwen_variant(pol, 2, "requant", n_iters=4)
+                m_q = _re.search(r"(\d+\.\d+) img/s", buf.getvalue())
+                if m_q:
+                    qwen_bs2_fps = float(m_q.group(1))
+                    qwen_bs2_policy = pol
+                    break
+                print(f"qwen20b bs=2 policy={pol}: no number "
+                      f"({buf.getvalue()[-160:]!r})", file=sys.stderr)
+        except Exception as e:
+            print(f"qwen20b bs=2 bench skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # 4) the Qwen-Image-Edit CACHE pass at real 7B width (vision tower + LM +
     #    3D-VAE ×2; VERDICT r3 #2). int8-weight-only LM — the single-chip fit.
@@ -307,6 +328,8 @@ def main():
         "qwen20b_int4_requant_fps": qwen_fps,
         "qwen20b_vs_reference_per_chip": (round(qwen_fps / 0.2, 2)
                                           if qwen_fps else None),
+        "qwen20b_bs2_fps": qwen_bs2_fps,
+        "qwen20b_bs2_policy": qwen_bs2_policy,
         "qwen_cache_samples_per_s": qwen_cache_sps,
         "note": "baseline 0.85 img/s/chip (1.7 aggregate, 2xRTX4090 bf16-FSDP); "
                 "headline = W8A8-dynamic (int8 MXU matmuls, per-row dynamic "
