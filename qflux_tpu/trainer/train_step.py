@@ -289,6 +289,27 @@ def _fix_straggler_layouts(out, fmt_leaves, device_put=None):
     return out
 
 
+def jit_with_pinned_formats(step, relaid_params):
+    """Re-jit `step` with the frozen-params entry layouts pinned to EXACTLY
+    the formats the relaid arrays self-report.
+
+    Dispatch-consistent by construction: jit's argument-layout check compares
+    each array's recorded format against the executable's expected one, and
+    here the expectation IS read from the arrays. This is the trainer's
+    default mode (`BaseTrainer._maybe_relayout_params`) and the recovery mode
+    for the tunnel-backend failure where the AOT AUTO-layout executable
+    rejects the relaid tree at dispatch ("Computation was compiled for input
+    layouts that disagree…") even after the straggler post-verify — observed
+    on the 20B Qwen bench under a concurrent tunnel client (round-5 log;
+    the post-verify compares the same metadata dispatch does, so a leaf it
+    cannot see wrong it cannot fix). Costs one extra compile; steps then run
+    relayout-free exactly like the AOT path.
+    """
+    fmts = jax.tree.map(lambda x: x.format, relaid_params)
+    return jax.jit(step, donate_argnums=(0,),
+                   in_shardings=(None, fmts, None, None))
+
+
 def make_lr_schedule(base_lr: float, scheduler_type: str = "constant",
                      warmup_steps: int = 0, total_steps: int = 10000):
     """diffusers get_scheduler equivalents (reference base_trainer.py:884-916)."""

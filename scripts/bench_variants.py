@@ -74,10 +74,9 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
                 return {k: rename(v) for k, v in node.items()}
             return node
         params = rename(params)
-    lora = build_lora_tree(
-        jax.random.PRNGKey(1), params,
-        [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"],
-        rank=16, alpha=16, dtype=jnp.bfloat16)
+    lora_patterns = [r"attn/(to_q|to_k|to_v|to_out|add_q|add_k|add_v|add_out)"]
+    lora = build_lora_tree(jax.random.PRNGKey(1), params, lora_patterns,
+                           rank=16, alpha=16, dtype=jnp.bfloat16)
 
     # 512²: patch=2 on /8 latents → 32×32=1024 img tokens, same control, 256 txt
     gh = gw = 32
@@ -101,7 +100,8 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
         return out[:, :s_img, : cfg.in_channels]
 
     opt = optax.adamw(1e-4)
-    step = make_train_step(predict_velocity, MseLoss(), opt, TrainStepConfig())
+    step0 = make_train_step(predict_velocity, MseLoss(), opt, TrainStepConfig())
+    step = step0
     state = TrainState.create(lora, opt)
     rng = jax.random.PRNGKey(0)
     t_c = time.perf_counter()
@@ -114,6 +114,34 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
                                                 rng, donate=True)
         state, m = step(state, params, batch, rng)
         _ = float(m["loss"])
+    except ValueError as e:
+        # Tunnel-backend flake: the AOT AUTO-layout executable can reject the
+        # relaid tree at dispatch even after the straggler post-verify (the
+        # verify compares the same metadata dispatch does — a leaf it can't
+        # see wrong it can't fix; this nulled the r4 flagship number). Re-jit
+        # pinned to the formats the arrays self-report (dispatch-consistent
+        # by construction) and rebuild the possibly-donated state.
+        if (jax.default_backend() != "tpu"
+                or "layouts that disagree" not in str(e)):
+            print(f"qwen policy={policy} bs={bs} {quant}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}")
+            return
+        print(f"qwen policy={policy} bs={bs} {quant}: AOT layout dispatch "
+              f"disagreement — re-jitting with pinned formats", flush=True)
+        try:
+            from qflux_tpu.trainer.train_step import jit_with_pinned_formats
+
+            lora = build_lora_tree(jax.random.PRNGKey(1), params,
+                                   lora_patterns, rank=16, alpha=16,
+                                   dtype=jnp.bfloat16)
+            state = TrainState.create(lora, opt)
+            step = jit_with_pinned_formats(step0, params)
+            state, m = step(state, params, batch, rng)
+            _ = float(m["loss"])
+        except Exception as e2:
+            print(f"qwen policy={policy} bs={bs} {quant}: FAILED "
+                  f"{type(e2).__name__}: {str(e2)[:300]}")
+            return
     except Exception as e:
         print(f"qwen policy={policy} bs={bs} {quant}: FAILED {type(e).__name__}: {str(e)[:300]}")
         return
