@@ -271,16 +271,41 @@ def _requant_factors(g_scale):
 
 
 def _requant_q8(q4, f):
-    """Unpack half-split int4 and re-quantize to the per-channel int8 grid."""
-    q = unpack_int4(q4)
-    *lead, d_in, d_out = q.shape
+    """Unpack half-split int4 and re-quantize to the per-channel int8 grid.
+
+    Structured as regrid-per-nibble-plane THEN one concat (not
+    unpack-concat-then-regrid): each plane's shift→mul→round→clip chain is
+    pure elementwise+broadcast on [K/2, N], so XLA fuses it into the concat's
+    write and the program materializes q8 ONCE. The concat-first form
+    materialized the unpacked int8 q [K, N] AND q8 — one extra full-weight
+    HBM round trip per GEMM, ~half the measured on-the-fly requant tax at the
+    20B Qwen's shapes (scripts/bench_int4_requant.py, docs/PERF.md round 5).
+    Values are bit-identical: low plane rows [0, K/2) are groups [0, n_g/2).
+    """
+    *lead, half_in, d_out = q4.shape
     n_g = f.shape[-2]
-    g = q.reshape(*lead, n_g, d_in // n_g, d_out).astype(jnp.float32)
-    # clip before the cast: the packed format admits -8 (quantize_kernel_int4
-    # never emits it, but external int4 trees may), and round(-8·127/7) = -145
-    # would wrap on astype(int8)
-    return jnp.clip(jnp.round(g * f[..., :, None, :]), -127, 127).astype(
-        jnp.int8).reshape(*lead, d_in, d_out)
+    if n_g % 2:
+        # a scale group straddles the K/2 plane boundary (n_g odd — only at
+        # tiny widths where group_size ≥ d_in): concat-first reference form
+        q = unpack_int4(q4)
+        g = q.reshape(*lead, n_g, 2 * half_in // n_g, d_out).astype(jnp.float32)
+        return jnp.clip(jnp.round(g * f[..., :, None, :]), -127, 127).astype(
+            jnp.int8).reshape(*lead, 2 * half_in, d_out)
+    gh = n_g // 2
+    gsz = half_in // gh
+    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)  # sign-extended low nibble
+    hi = jnp.right_shift(q4, 4)                     # arithmetic → signed high
+
+    def regrid(plane, fpart):
+        g = plane.reshape(*lead, gh, gsz, d_out).astype(jnp.float32)
+        # clip before the cast: the packed format admits -8
+        # (quantize_kernel_int4 never emits it, but external int4 trees may),
+        # and round(-8·127/7) = -145 would wrap on astype(int8)
+        return jnp.clip(jnp.round(g * fpart[..., :, None, :]), -127, 127
+                        ).astype(jnp.int8).reshape(*lead, half_in, d_out)
+
+    return jnp.concatenate([regrid(lo, f[..., :gh, :]),
+                            regrid(hi, f[..., gh:, :])], axis=-2)
 
 
 def _rq4_fwd_raw(x, q4, g_scale):
