@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 from typing import Any, Callable
 
 import jax
@@ -229,7 +230,23 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
     """
     from jax.experimental.layout import Format, Layout
 
-    fmt = jax.tree.map(lambda _: Format(Layout.AUTO), base_params)
+    # Size-gate AUTO: only leaves big enough for a layout to matter get an
+    # XLA-chosen entry layout; small leaves pin to the format they already
+    # have. The per-step relayout copies AUTO eliminates are the multi-MB
+    # int8 weight stacks — tiny tensors gain nothing, and they are exactly
+    # the ones the tunnel backend's device_put mis-lays: a [24, 64] f32
+    # kernel_scale (6 KB) came back in the wrong tiled layout on every
+    # attempt (round-4 AND round-5 driver logs, leaf 53), nulling the 20B
+    # Qwen headline twice. Pinning small leaves removes the straggler class
+    # at the root instead of recovering after the fact.
+    auto_min = int(os.environ.get("QFLUX_AUTO_LAYOUT_MIN_BYTES", 1 << 20))
+
+    def _pick(x):
+        big = x.size * x.dtype.itemsize >= auto_min
+        return Format(Layout.AUTO) if big else getattr(
+            x, "format", Format(Layout.AUTO))
+
+    fmt = jax.tree.map(_pick, base_params)
     jitted = jax.jit(step, donate_argnums=(0,),
                      in_shardings=(None, fmt, None, None))
     # AUTO-layout lowering rejects committed concrete arrays ("arg layout is
@@ -264,29 +281,69 @@ def relayout_base_params(step, state, base_params, batch, rng, donate=False):
                             [f for _, _, f in group], donate=donate)
         for (i, _, _), y in zip(group, ys):
             out[i] = y
-    _fix_straggler_layouts(out, fmt_leaves)
-    return compiled, jax.tree.unflatten(treedef, out)
+    out, bad = _fix_straggler_layouts(out, fmt_leaves)
+    relaid = jax.tree.unflatten(treedef, out)
+    if bad:
+        # One or more leaves will not take their AUTO layout on this backend
+        # even after a host rebuild of the buffer. The AOT executable would
+        # reject the tree at dispatch (or worse, die in the backend with an
+        # opaque InvalidArgument — round-5 driver log), so abandon it: re-jit
+        # pinned to the formats the arrays actually have. Costs one extra
+        # compile; every leaf that DID relayout keeps its XLA-preferred
+        # layout, so the per-step copy saving is mostly retained.
+        logger.warning(
+            "relayout: %d leaves would not take their AUTO entry layouts; "
+            "re-jitting with formats pinned to the arrays themselves", len(bad))
+        return jit_with_pinned_formats(step, relaid), relaid
+    return compiled, relaid
 
 
 def _fix_straggler_layouts(out, fmt_leaves, device_put=None):
     """Post-verify (metadata only, no transfers): a layout disagreement after
     the batched relayout would crash the first step call with an opaque XLA
-    error. Observed once on the tunnel backend under a concurrent client —
-    re-put the stragglers individually (never donated: the source may be the
-    caller's only copy). Mutates `out` in place and returns it.
+    error. Observed on the tunnel backend — re-put the stragglers
+    individually (never donated: the source may be the caller's only copy);
+    a leaf that STILL disagrees after the re-put is rebuilt through the host
+    (`device_put(x, None)` contract: host round trip into the default
+    layout — guaranteed realizable) and its index reported back so the
+    caller re-jits with pinned formats instead of using the AOT executable.
 
-    Regression guard: this branch FIRED on the round-4 driver bench and the
-    then-undefined `logger` turned recovery into a NameError that nulled the
-    20B Qwen headline (BENCH_r04.json) — keep it covered by
-    tests/trainer/test_auto_layout.py::test_straggler_relayout_recovers.
+    Mutates `out` in place; returns (out, persistent_straggler_indices).
+
+    Regression guards: the re-put branch FIRED on the round-4 driver bench
+    and a then-undefined `logger` turned recovery into a NameError that
+    nulled the 20B Qwen headline (BENCH_r04.json); on round 5 a 6 KB
+    kernel_scale leaf NEVER took its layout and the re-put loop alone could
+    not save the run. Covered by tests/trainer/test_auto_layout.py::
+    test_straggler_relayout_recovers / test_persistent_straggler_degrades.
     """
-    put = jax.device_put if device_put is None else device_put
+    put = device_put if device_put is not None else _put_or_host_rebuild
+    bad = []
     for i, f in enumerate(fmt_leaves):
         if getattr(out[i], "format", None) != f:
             logger.warning("relayout: leaf %d came back in the wrong layout; "
                            "re-issuing device_put", i)
             out[i] = put(out[i], f)
-    return out
+            if getattr(out[i], "format", None) != f:
+                logger.warning(
+                    "relayout: leaf %d will not take its AUTO layout on this "
+                    "backend; rebuilding through the host in the default "
+                    "layout", i)
+                out[i] = put(out[i], None)
+                bad.append(i)
+    return out, bad
+
+
+def _put_or_host_rebuild(x, f):
+    """device_put with the straggler contract: f=None means 'pull the buffer
+    to the host and re-upload fresh' — the only path guaranteed to land in a
+    layout the backend can actually execute with (the device-to-device put
+    of a small tiled layout is what keeps failing on the tunnel)."""
+    if f is None:
+        import numpy as np
+
+        return jax.device_put(np.asarray(x))
+    return jax.device_put(x, f)
 
 
 def jit_with_pinned_formats(step, relaid_params):

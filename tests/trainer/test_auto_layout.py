@@ -117,9 +117,10 @@ def test_straggler_relayout_recovers(caplog):
         return Leaf(f)
 
     with caplog.at_level(logging.WARNING, "qflux_tpu.trainer.train_step"):
-        fixed = _fix_straggler_layouts(out, wanted, device_put=fake_put)
+        fixed, bad = _fix_straggler_layouts(out, wanted, device_put=fake_put)
 
     assert [x.format for x in fixed] == wanted
+    assert bad == []
     assert len(calls) == 1 and calls[0][1] == "f1"
     assert fixed[0] is out[0] and fixed[2] is out[2]  # matches untouched
     assert any("wrong layout" in r.message for r in caplog.records)
@@ -127,6 +128,68 @@ def test_straggler_relayout_recovers(caplog):
     # undefined module-level name, invisible to CPU happy-path tests)
     from qflux_tpu.trainer import train_step as ts
     assert ts.logger.name == "qflux_tpu.trainer.train_step"
+
+
+def test_persistent_straggler_degrades(caplog):
+    """Round-5 regression: on the tunnel backend a 6 KB kernel_scale leaf
+    NEVER took its AUTO layout — the re-put loop alone crashed the run later
+    at dispatch with an opaque TPU InvalidArgument (it nulled the 20B Qwen
+    flagship twice). The post-verify must rebuild such a leaf through the
+    host (device_put contract: f=None) and report it so relayout_base_params
+    abandons the AOT executable for a pinned-format re-jit."""
+    import logging
+
+    from qflux_tpu.trainer.train_step import _fix_straggler_layouts
+
+    class Leaf:
+        def __init__(self, fmt):
+            self.format = fmt
+
+    wanted = ["f0", "f1"]
+    out = [Leaf("f0"), Leaf("WRONG")]
+    calls = []
+
+    def stubborn_put(x, f):
+        calls.append(f)
+        # device-to-device put keeps failing; host rebuild lands default
+        return Leaf("DEFAULT" if f is None else "WRONG")
+
+    with caplog.at_level(logging.WARNING, "qflux_tpu.trainer.train_step"):
+        fixed, bad = _fix_straggler_layouts(out, wanted, device_put=stubborn_put)
+
+    assert bad == [1]
+    assert calls == ["f1", None]  # one re-put attempt, then the host rebuild
+    assert fixed[1].format == "DEFAULT"
+    assert any("rebuilding through the host" in r.message
+               for r in caplog.records)
+
+
+def test_auto_layout_size_gate():
+    """Only leaves >= QFLUX_AUTO_LAYOUT_MIN_BYTES get AUTO entry layouts;
+    small leaves (the 6 KB kernel_scale class that the tunnel backend cannot
+    relayout — round-4/5 driver logs) pin to the format they already carry,
+    so the straggler class cannot arise for them at all."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.trainer.train_step import relayout_base_params
+
+    big = jnp.zeros((1024, 512), jnp.float32)   # 2 MiB -> AUTO
+    small = jnp.zeros((24, 64), jnp.float32)    # 6 KB  -> pinned current
+    params = {"w": big, "scale": small}
+
+    def step(state, p, batch, rng):
+        return state, {"loss": jnp.sum(p["w"]) + jnp.sum(p["scale"])}
+
+    state = jnp.zeros(())
+    compiled, relaid = relayout_base_params(
+        step, state, params, {"x": jnp.zeros((2,))}, jax.random.PRNGKey(0))
+    # CPU layouts are trivial so everything stays put — the assertion that
+    # matters is the compile accepted a mixed AUTO/concrete format tree and
+    # the small leaf kept exactly its original format.
+    assert relaid["scale"].format == small.format
+    _, m = compiled(state, relaid, {"x": jnp.zeros((2,))}, jax.random.PRNGKey(0))
+    assert float(m["loss"]) == 0.0
 
 
 def test_chunk_by_bytes_grouping():
