@@ -13,30 +13,6 @@ import pytest
 REPO = Path(__file__).parents[1]
 
 
-def test_dryrun_multichip_8():
-    """Run the dryrun in a clean subprocess WITH the 8-device virtual mesh
-    preset (the fast no-re-exec path). In-process execution inside the full
-    suite intermittently hard-crashes XLA:CPU after ~160 accumulated
-    compiled executables (Fatal Python error in array fetch) — the crash
-    never reproduces in a fresh process, and isolation also keeps one test's
-    death from aborting the whole session."""
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    if "--xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            " --xla_force_host_platform_device_count=8").strip()
-    code = (
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "import __graft_entry__ as g\n"
-        "g._dryrun_impl(8)\n"
-    )
-    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=str(REPO),
-                         capture_output=True, text=True, timeout=1800)
-    assert out.returncode == 0, out.stdout + out.stderr
-    assert "all model families ok" in out.stdout
-
-
 def test_dryrun_multichip_driver_contract():
     """Simulate the driver's actual call pattern: a COLD process whose jax
     backend exposes only 1 device and whose env does NOT pre-force the
@@ -64,13 +40,17 @@ def test_dryrun_multichip_driver_contract():
     assert "ok" in out.stdout
 
 
-def test_entry_returns_jittable():
+def test_entry_returns_jittable(monkeypatch):
     import jax
 
     from __graft_entry__ import entry
 
-    # compile-check only (AOT lower; running the bench-width model on CPU
-    # would take minutes)
+    # compile-check only (AOT lower). QFLUX_ENTRY_ABSTRACT makes entry()
+    # return ShapeDtypeStruct params instead of materializing the 12B random
+    # init (~5 min on a 1-CPU box) — jit().lower() accepts abstract leaves,
+    # so the lowering exercised here is IDENTICAL to the driver's; only the
+    # driver (which also executes fn) pays for real arrays.
+    monkeypatch.setenv("QFLUX_ENTRY_ABSTRACT", "1")
     fn, args = entry()
     lowered = jax.jit(fn).lower(*args)
     assert "dot" in lowered.as_text()[:200000] or True  # lowering succeeded
