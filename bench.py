@@ -285,6 +285,7 @@ def main():
     #    once, transient) can neither wedge this process's client nor lose
     #    the already-measured flux/qwen numbers.
     qwen_cache_sps = None
+    qwen_cache_spread = None
     if on_tpu:
         import re
         import subprocess
@@ -299,6 +300,10 @@ def main():
                 m = re.search(r"QWEN_CACHE_SAMPLES_PER_S=([0-9.]+)", proc.stdout)
                 if m:
                     qwen_cache_sps = round(float(m.group(1)), 2)
+                    m_sp = re.search(r"QWEN_CACHE_SPREAD=([0-9.]+)",
+                                     proc.stdout)
+                    if m_sp:
+                        qwen_cache_spread = round(float(m_sp.group(1)), 4)
                     break
                 if "QWEN_CACHE_NOT_FIT=1" in proc.stdout:
                     # deterministic not-fit: retrying would burn another full
@@ -348,6 +353,7 @@ def main():
         "qwen20b_bs2_fps": qwen_bs2_fps,
         "qwen20b_bs2_policy": qwen_bs2_policy,
         "qwen_cache_samples_per_s": qwen_cache_sps,
+        "qwen_cache_window_spread": qwen_cache_spread,
         "note": "baseline 0.85 img/s/chip (1.7 aggregate, 2xRTX4090 bf16-FSDP); "
                 "headline = W8A8-dynamic (int8 MXU matmuls, per-row dynamic "
                 "activation scales, straight-through VJP, convergence-tested); "
