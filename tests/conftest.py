@@ -41,6 +41,7 @@ SLOW_NODE_PATTERNS = [
     "tests/ops/test_int8_dynamic.py::test_w8a8_training_converges_like_fp32",
     "tests/models/test_qwen_stack.py::test_qwen_vae_roundtrip_shapes",
     "tests/models/test_qwen3_parity.py::*",
+    "tests/models/test_qwen_vae_oracle.py::*deep*",
     "tests/models/test_flux_transformer.py::test_lora_injection_and_grads",
     "tests/data/test_conditioning_dropout.py::test_trainer_zeroes_control_latents_on_flag",
     "tests/trainer/test_train_step.py::test_grad_accum_matches_big_batch",
