@@ -67,6 +67,24 @@ def _planes_fwd_raw(x, q4, g_scale):
     return (acc.astype(jnp.float32) * sx * s_vec).astype(x.dtype)
 
 
+def _rq_old_fwd_raw(x, q4, g_scale):
+    """rq_old: the pre-round-5 shipped form — unpack, concat to [K, N], THEN
+    regrid. Materializes both the unpacked int8 q and the regridded q8 (one
+    extra full-weight HBM round trip vs the plane-regrid form that replaced
+    it in ops/quant._requant_q8)."""
+    f, s_vec = Q._requant_factors(g_scale)
+    q = Q.unpack_int4(q4)
+    d_in, d_out = q.shape[-2:]
+    n_g = f.shape[-2]
+    g = q.reshape(n_g, d_in // n_g, d_out).astype(jnp.float32)
+    q8 = jnp.clip(jnp.round(g * f[:, None, :]), -127, 127).astype(
+        jnp.int8).reshape(d_in, d_out)
+    xq, sx = Q._rowquant(x)
+    acc = jax.lax.dot_general(xq, q8, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * s_vec).astype(x.dtype)
+
+
 def _bf16_fwd_raw(x, q4, g_scale):
     """rq_bf16: the shipped path with the regrid multiply in bf16."""
     f, s_vec = Q._requant_factors(g_scale)
@@ -147,6 +165,7 @@ def main():
         variants = {
             "w8a8": (Q.dyn_int8_matmul, (qi8, s8v)),
             "rq": (Q.requant_int4_matmul, (q4, g_scale)),
+            "rq_old": (_rq_old_fwd_raw, (q4, g_scale)),
             "rq_pre": (Q.dyn_int8_matmul, (q8_pre, s_pre)),
             "rq_planes": (_planes_fwd_raw, (q4, g_scale)),
             "rq_bf16": (_bf16_fwd_raw, (q4, g_scale)),
