@@ -166,7 +166,7 @@ def main():
                 rank=16, alpha=16, dtype=jnp.bfloat16)
             return TrainState.create(lora, opt)
 
-        def timed(p, b=None):
+        def timed(p, b=None, step_fn=None, it=None):
             """NOTE: on the axon tunnel, block_until_ready does NOT block —
             timing forces a scalar fetch (≈26 ms, amortized over n_iters).
 
@@ -176,12 +176,14 @@ def main():
             headline; docs/PERF.md round 3). donate=True consumes `p` (the
             relaid copy cannot coexist with the source on a 16 GB chip)."""
             b = batch if b is None else b
-            run, p_run = step, p
+            run = step if step_fn is None else step_fn
+            p_run = p
             t_compile = time.perf_counter()
             if on_tpu:
                 from qflux_tpu.trainer.train_step import relayout_base_params
 
-                run, p_run = relayout_base_params(step, fresh_state(), p,
+                base_step = step if step_fn is None else step_fn
+                run, p_run = relayout_base_params(base_step, fresh_state(), p,
                                                   b, rng, donate=True)
             try:
                 state, m = run(fresh_state(), p_run, b, rng)
@@ -199,18 +201,20 @@ def main():
                 from qflux_tpu.trainer.train_step import jit_with_pinned_formats
                 print("bench: AOT layout dispatch disagreement — re-jitting "
                       "with pinned formats", file=sys.stderr)
-                run = jit_with_pinned_formats(step, p_run)
+                run = jit_with_pinned_formats(
+                    step if step_fn is None else step_fn, p_run)
                 state, m = run(fresh_state(), p_run, b, rng)
                 _ = float(m["loss"])
             compile_s = time.perf_counter() - t_compile
+            iters = n_iters if it is None else it
             t0 = time.perf_counter()
-            for _ in range(n_iters):
+            for _ in range(iters):
                 state, m = run(state, p_run, b, rng)
             _ = float(m["loss"])
             # free the variant's relaid tree before the next variant builds
             if on_tpu:
                 jax.tree.map(lambda x: x.delete(), p_run)
-            return (time.perf_counter() - t0) / n_iters, compile_s
+            return (time.perf_counter() - t0) / iters, compile_s
 
         # 1) int8 weight-only base (bf16 activations — the reference's
         #    quantized-base numerics class). Each variant gets a fresh
@@ -226,9 +230,24 @@ def main():
         #    r4 closed the bs=2 per-image regression (docs/PERF.md round 4)
         dt_bs2, _ = (timed(_w8a8_params(_synthetic_int8_params(cfg)), batch_bs2)
                      if on_tpu else (2 * dt_dyn, 0.0))
-        return dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2
+        # 4) the reference's published A100 workload: 832×576 (52×36 grid)
+        #    bs=2 at remat=full — the measured operating point at S=4256
+        #    (flash/flash_single compile-OOM next to the 12 GB int8 base;
+        #    flash_offload loses by +1.2% — docs/PERF.md round 5). Emitted so
+        #    the README's 832×576 row traces to a BENCH artifact.
+        dt_832 = None
+        if on_tpu:
+            adapter_full = FluxKontextAdapter(cfg, attn_impl="auto",
+                                              remat=True, remat_policy="full")
+            step_832 = make_train_step(adapter_full.predict_velocity,
+                                       MseLoss(), opt, TrainStepConfig())
+            batch_832 = _flux_inputs(cfg, batch=2, grid_h=52, grid_w=36,
+                                     txt_len=512, dtype=jnp.bfloat16)
+            dt_832, _ = timed(_w8a8_params(_synthetic_int8_params(cfg)),
+                              batch_832, step_fn=step_832, it=4)
+        return dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2, dt_832
 
-    dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2 = bench_flux()
+    dt_wo, compile_wo, dt_dyn, compile_dyn, dt_bs2, dt_832 = bench_flux()
 
     # 3) the 20B Qwen-Image-Edit DiT (int4_requant base — the only numerics
     #    that fits 20B on one 16 GB v5e); reference quantized-base (fp4) rows
@@ -346,6 +365,7 @@ def main():
         "int8_weight_only_fps": round(fps_wo, 4),
         "vs_baseline_weight_only": round(fps_wo / BASELINE_FPS_PER_CHIP, 4),
         "flux_512_bs2_fps": round(2.0 / dt_bs2, 4),
+        "flux_832x576_bs2_fps": (round(2.0 / dt_832, 4) if dt_832 else None),
         "vs_baseline_bs2": round(2.0 / dt_bs2 / BASELINE_FPS_PER_CHIP, 4),
         "qwen20b_int4_requant_fps": qwen_fps,
         "qwen20b_vs_reference_per_chip": (round(qwen_fps / 0.2, 2)
