@@ -36,6 +36,7 @@ the XLA composition otherwise.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,7 @@ from qflux_tpu.ops.flash_attention import (BLOCK_Q_TARGET, NEG_INF,
 EPS = 1e-6
 # nr-merged backward live set adds the kn bf16 scratch, cos/sin K tiles and
 # the f32 norm temps on top of the plain merged kernel's estimate
-NR_VMEM_BUDGET = 13 * 1024 * 1024
+NR_VMEM_BUDGET = int(os.environ.get("QFLUX_NR_VMEM_MB", "13")) * 1024 * 1024
 
 
 def _nr_block_q(bk: int, d: int, s_int8: bool = False) -> int | None:
@@ -61,14 +62,49 @@ def _nr_block_q(bk: int, d: int, s_int8: bool = False) -> int | None:
                + 24 * bq * d)       # q tiles + cos/sin q side + temps
         if s_int8:
             est += bk * d           # int8 kn scratch for the score GEMM
-        # bq=256 at bk=2560 (est 15.9 MB) compiles STANDALONE and is ~3%
-        # faster fwd+bwd — but inside the full model the dual-block variant
-        # hits Mosaic "scoped vmem 17.21M > 16.00M" (operand buffering the
-        # estimate misses), so the 13 MB budget stays. Don't retry without
-        # shrinking the kernel's live set first.
+        # bq=256 at bk=2560 (est 15.9 MB) compiles under the RAISED
+        # scoped-VMEM limit but the merged backward measured ~6% SLOWER
+        # there (scripts/bench_nr_block.py, round 5: bwd-only 1.61 vs
+        # 1.52 ms at the headline shape), so the 13 MB budget keeps the
+        # backward at 128 on purpose; only the forward upgrades
+        # (_nr_fwd_block_q). Override: QFLUX_NR_VMEM_MB.
         if est <= NR_VMEM_BUDGET:
             return bq
     return None
+
+
+def _nr_fwd_block_q(bk: int, d: int, s_int8: bool = False) -> int:
+    """Forward-kernel block_q — may exceed the merged backward's.
+
+    The forward's live set is ~half the backward's (no dk/dv accumulators,
+    no ds plane), so under the raised scoped-VMEM limit it affords
+    block_q=256 where the backward is capped at 128: measured −9% unmasked
+    / −49% masked forward at the 512² headline shape, while the backward
+    kernel is ~6% SLOWER at 256 (scripts/bench_nr_block.py, round 5) — so
+    the two kernels pick independently.  Gated on the raised limit exactly
+    like the folded layout (the 256 dual-block variant exceeds the default
+    16 MiB scoped-VMEM limit inside the full model).
+    """
+    raised = _interpret()
+    if not raised:
+        from qflux_tpu.runtime.tpu_env import scoped_vmem_raised
+
+        raised = scoped_vmem_raised()
+    if not raised:
+        # under the DEFAULT 16 MiB scoped limit the 256 dual-block variant
+        # overflows inside the full model ("scoped vmem 17.21M > 16.00M")
+        # — no upgrade; the caller falls back to the backward's choice
+        return 128
+    budget = max(NR_VMEM_BUDGET, 32 * 1024 * 1024)
+    for bq in (256, 128):
+        est = (4 * bq * bk          # s f32
+               + 16 * bk * d        # k/v tiles + kn scratch + cos/sin K side
+               + 24 * bq * d)       # q/o tiles + cos/sin q side + temps
+        if s_int8:
+            est += bk * d
+        if est <= budget:
+            return bq
+    return 128
 
 
 def supports(sq: int, sk: int, d: int, s_int8: bool = False) -> bool:
@@ -487,15 +523,17 @@ def apply_qk_norm_rope(x, scale2, cos, sin, st, eps=EPS):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _flash_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q, st,
               s_int8, folded, n_heads):
+    # block_q is a (fwd, bwd) pair — the kernels size independently (see
+    # _nr_fwd_block_q).
     out, _ = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                     block_q, st, s_int8, folded, n_heads)
+                     block_q[0], st, s_int8, folded, n_heads)
     return out
 
 
 def _flash_nr_fwd(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q,
                   st, s_int8, folded, n_heads):
     out, lse = _fwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale,
-                       block_q, st, s_int8, folded, n_heads)
+                       block_q[0], st, s_int8, folded, n_heads)
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse)
@@ -504,7 +542,7 @@ def _flash_nr_fwd(q, k, v, qs, ks, cos, sin, q_seg, kv_seg, scale, block_q,
 def _flash_nr_bwd(scale, block_q, st, s_int8, folded, n_heads, res, do):
     q, k, v, qs, ks, cos, sin, q_seg, kv_seg, out, lse = res
     dq, dk, dv, dqs, dks = _bwd_nr(q, k, v, qs, ks, cos, sin, q_seg, kv_seg,
-                                   out, lse, do, scale, block_q, st, s_int8,
+                                   out, lse, do, scale, block_q[1], st, s_int8,
                                    folded, n_heads)
     return (dq, dk, dv, dqs.astype(qs.dtype), dks.astype(ks.dtype),
             jnp.zeros_like(cos), jnp.zeros_like(sin), None, None)
@@ -537,6 +575,13 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
     assert bq_m is not None, "caller must gate on flash_nr.supports()"
     block_q = min(_auto_block(sq, BLOCK_Q_TARGET), bq_m)
     pq = _pad_len(sq, block_q)
+    # the forward kernel may take a bigger block than the backward — but
+    # never at the cost of extra padding (padding flips the call to the
+    # masked path, which is what the big block is best at avoiding)
+    bq_fwd = min(_auto_block(sq, BLOCK_Q_TARGET),
+                 _nr_fwd_block_q(sk_pad, d, s_int8))
+    if bq_fwd < block_q or _pad_len(sq, bq_fwd) != pq:
+        bq_fwd = block_q
 
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
@@ -570,7 +615,8 @@ def flash_attention_nr(q, k, v, q_scale2, k_scale2, cos, sin, st,
         qseg = jnp.pad(seg, ((0, 0), (0, pq)))[:, None, :]
 
     out = _flash_nr(qt, kt, vt, q_scale2, k_scale2, t3(cos), t3(sin),
-                    qseg, qseg, scale, block_q, st, bool(s_int8), folded, h)
+                    qseg, qseg, scale, (bq_fwd, block_q), st, bool(s_int8),
+                    folded, h)
     if folded:
         return out[:, :sq].reshape(b, sq, h, d)
     return out.transpose(0, 2, 1, 3)[:, :sq]
