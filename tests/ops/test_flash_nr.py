@@ -195,3 +195,38 @@ def test_folded_layout_matches_legacy(masked, monkeypatch):
     for gf, gl, name in zip(g_f, g_l, ("dq", "dk", "dv", "dqs", "dks")):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gl), atol=2e-5,
                                    err_msg=name)
+
+
+def test_fwd_block_upgrade_rules(monkeypatch):
+    """Round 5: the forward kernel sizes its block independently of the
+    merged backward (fwd=256/bwd=128 at headline shapes under the raised
+    scoped-VMEM limit) — pin the selection rules."""
+    from qflux_tpu.ops import flash_nr
+
+    # interpret mode counts as "raised": 256 at the headline K block
+    assert flash_nr._nr_fwd_block_q(2560, 128) == 256
+    # the backward keeps the 13 MiB budget → 128 at the same shape
+    assert flash_nr._nr_block_q(2560, 128) == 128
+
+    # without the raised limit there is no upgrade at all
+    monkeypatch.setattr(flash_nr, "_interpret", lambda: False)
+    import qflux_tpu.runtime.tpu_env as tpu_env
+    monkeypatch.setattr(tpu_env, "scoped_vmem_raised", lambda: False)
+    assert flash_nr._nr_fwd_block_q(2560, 128) == 128
+
+
+def test_split_blocks_no_extra_padding():
+    """A sequence divisible by 128 but not 256 must keep the backward's
+    block for the forward too — upgrading would grow the padded shape and
+    flip an unmasked call onto the masked path."""
+    s_odd = 384  # 3 × 128 — not divisible by 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    q, k, v = (jax.random.normal(ks[i], (B, s_odd, H, D)) for i in range(3))
+    qs2 = 1.0 + 0.1 * jax.random.normal(ks[3], (2, D))
+    ks2 = 1.0 + 0.1 * jax.random.normal(ks[4], (2, D))
+    ang = jax.random.uniform(ks[5], (s_odd, D // 2), jnp.float32, 0, 6.28)
+    cos = jnp.concatenate([jnp.cos(ang)] * 2, -1)
+    sin = jnp.concatenate([jnp.sin(ang)] * 2, -1)
+    out = flash_attention_nr(q, k, v, qs2, ks2, cos, sin, ST)
+    ref = _oracle(q, k, v, qs2, ks2, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
