@@ -43,11 +43,15 @@ def _synthetic_int4_params(cfg, init_fn):
     return build(shapes)
 
 
-def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
+def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6,
+                     gh: int = 32, gw: int = 32, accum: int = 1):
     """FULL 60-block Qwen-Image-Edit DiT (20B) train step, int4 base.
 
     The measured (not extrapolated) Qwen number VERDICT.md asked for: 20B at
-    int4 = ~10 GB weights fits one 16 GB v5e."""
+    int4 = ~10 GB weights fits one 16 GB v5e. gh=52 gw=36 reproduces the
+    reference's published face-seg workload (832×576 center-crop,
+    /root/reference/configs/face_seg_config.yaml:29, speed table
+    README.md:617-626)."""
     import time
 
     import jax
@@ -79,7 +83,6 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
                            rank=16, alpha=16, dtype=jnp.bfloat16)
 
     # 512²: patch=2 on /8 latents → 32×32=1024 img tokens, same control, 256 txt
-    gh = gw = 32
     s_img = gh * gw
     txt_len = 256
     ks = jax.random.split(jax.random.PRNGKey(7), 3)
@@ -100,7 +103,8 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
         return out[:, :s_img, : cfg.in_channels]
 
     opt = optax.adamw(1e-4)
-    step0 = make_train_step(predict_velocity, MseLoss(), opt, TrainStepConfig())
+    step0 = make_train_step(predict_velocity, MseLoss(), opt,
+                            TrainStepConfig(grad_accum_steps=accum))
     step = step0
     state = TrainState.create(lora, opt)
     rng = jax.random.PRNGKey(0)
@@ -152,7 +156,8 @@ def run_qwen_variant(policy: str, bs: int, quant: str, n_iters: int = 6):
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n_iters
     flops = 3.0 * cfg.matmul_flops(2 * s_img, txt_len) * bs
-    print(f"qwen FULL 60-block policy={policy} bs={bs} {quant}: "
+    print(f"qwen FULL 60-block policy={policy} bs={bs}"
+          f"{f'/accum={accum}' if accum > 1 else ''} grid={gh}x{gw} {quant}: "
           f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  mfu~{flops/dt/197e12:.2f} "
           f"(compile {compile_s:.0f}s)", flush=True)
 
@@ -291,7 +296,7 @@ def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
 
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
                 gh: int = 32, gw: int = 32, part: str = "step",
-                layout: str = "default", multires: str = ""):
+                layout: str = "default", multires: str = "", accum: int = 1):
     """part: step (train step) | fwd (loss value only) | grad (value_and_grad,
     no optimizer) — the decomposition knob for locating step time.
 
@@ -346,7 +351,8 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
     adapter = FluxKontextAdapter(cfg, attn_impl=attn, remat=policy != "none",
                                  remat_policy=policy if policy != "none" else "full")
     opt = optax.adamw(1e-4)
-    step = make_train_step(adapter.predict_velocity, MseLoss(), opt, TrainStepConfig())
+    step = make_train_step(adapter.predict_velocity, MseLoss(), opt,
+                           TrainStepConfig(grad_accum_steps=accum))
     state = TrainState.create(lora, opt)
     if multires:
         # e.g. multires=32x32,28x24 — one sample per grid, padded + segment
@@ -419,8 +425,9 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
         state, m = step(state, params, batch, rng)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n_iters
-    print(f"variant policy={policy:8s} bs={bs} attn={attn:6s} layers={layers} "
-          f"grid={gh}x{gw}: "
+    print(f"variant policy={policy:8s} bs={bs}"
+          f"{f'/accum={accum}' if accum > 1 else ''} attn={attn:6s} "
+          f"layers={layers} grid={gh}x{gw}: "
           f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  (compile {compile_s:.0f}s)",
           flush=True)
 
@@ -459,10 +466,11 @@ if __name__ == "__main__":
     for pol in policies:
         if kv.get("model") == "qwen":
             run_qwen_variant(pol, int(kv.get("bs", 1)), kv.get("quant", "int4"),
-                             int(kv.get("iters", 6)))
+                             int(kv.get("iters", 6)), int(kv.get("gh", 32)),
+                             int(kv.get("gw", 32)), int(kv.get("accum", 1)))
         else:
             run_variant(pol, int(kv.get("bs", 1)), kv.get("attn", "auto"),
                         kv.get("layers", "full"), int(kv.get("iters", 8)),
                         int(kv.get("gh", 32)), int(kv.get("gw", 32)),
                         kv.get("part", "step"), kv.get("layout", "default"),
-                        kv.get("multires", ""))
+                        kv.get("multires", ""), int(kv.get("accum", 1)))
