@@ -33,6 +33,38 @@ def flux_inputs(cfg, batch: int, grid_h: int, grid_w: int, txt_len: int, dtype):
     }
 
 
+def flux_multicontrol_inputs(cfg, batch: int, target_grid, control_grids,
+                             txt_len: int, dtype):
+    """Multi-control FLUX-Kontext batch (the reference's character-composition
+    workload, reference configs/examples/
+    example_fluxkontext_fp16_character_composition.yaml: one target +
+    N control images of DIFFERENT sizes, control latents concatenated along
+    the sequence with set-index ids — control i gets ids[..., 0] = i + 1,
+    reference flux_kontext_trainer.py:400,419)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qflux_tpu.ops.rope import flux_image_ids, flux_text_ids
+
+    th, tw = target_grid
+    s_tgt = th * tw
+    s_ctl = sum(h * w for h, w in control_grids)
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    ids = [flux_image_ids(th, tw, 0)]
+    for i, (h, w) in enumerate(control_grids):
+        ids.append(flux_image_ids(h, w, i + 1))
+    return {
+        "image_latents": jax.random.normal(ks[0], (batch, s_tgt, cfg.in_channels), dtype),
+        "control_latents": jax.random.normal(ks[1], (batch, s_ctl, cfg.in_channels), dtype),
+        "prompt_embeds": jax.random.normal(
+            ks[2], (batch, txt_len, cfg.joint_attention_dim), dtype),
+        "pooled_prompt_embeds": jax.random.normal(
+            ks[3], (batch, cfg.pooled_projection_dim), dtype),
+        "img_ids": jnp.asarray(np.concatenate(ids)),
+        "txt_ids": jnp.asarray(flux_text_ids(txt_len)),
+    }
+
+
 def flux_multires_inputs(cfg, grids, txt_len: int, dtype):
     """Mixed-resolution PADDED batch (the multi-res fallback path): one sample
     per (grid_h, grid_w), each a target+control pair, padded to the largest

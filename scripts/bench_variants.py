@@ -296,7 +296,8 @@ def run_flux_inference(quant: str = "int8dyn", num_steps: int = 20,
 
 def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
                 gh: int = 32, gw: int = 32, part: str = "step",
-                layout: str = "default", multires: str = "", accum: int = 1):
+                layout: str = "default", multires: str = "", accum: int = 1,
+                tgt: str = "", ctrls: str = ""):
     """part: step (train step) | fwd (loss value only) | grad (value_and_grad,
     no optimizer) — the decomposition knob for locating step time.
 
@@ -362,6 +363,16 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
         grids = [tuple(int(v) for v in g.split("x")) for g in multires.split(",")]
         batch = flux_multires_inputs(cfg, grids, txt_len=512, dtype=jnp.bfloat16)
         bs = len(grids)
+    elif ctrls:
+        # multi-control (char-comp): tgt=24x42 ctrls=24x42+32x32 reproduces
+        # the reference's character-composition workload (384x672 target +
+        # [384x672, 512x512] controls, configs/examples/...character_composition.yaml)
+        from qflux_tpu.utils.synthetic import flux_multicontrol_inputs
+
+        tg = tuple(int(v) for v in (tgt or "24x42").split("x"))
+        cg = [tuple(int(v) for v in g.split("x")) for g in ctrls.split("+")]
+        batch = flux_multicontrol_inputs(cfg, bs, tg, cg, txt_len=512,
+                                         dtype=jnp.bfloat16)
     else:
         batch = _flux_inputs(cfg, batch=bs, grid_h=gh, grid_w=gw, txt_len=512,
                              dtype=jnp.bfloat16)
@@ -427,7 +438,7 @@ def run_variant(policy: str, bs: int, attn: str, layers: str, n_iters: int = 8,
     dt = (time.perf_counter() - t0) / n_iters
     print(f"variant policy={policy:8s} bs={bs}"
           f"{f'/accum={accum}' if accum > 1 else ''} attn={attn:6s} "
-          f"layers={layers} grid={gh}x{gw}: "
+          f"layers={layers} grid={f'{tgt}+{ctrls}' if ctrls else f'{gh}x{gw}'}: "
           f"{dt*1e3:7.1f} ms/step  {bs/dt:.3f} img/s  (compile {compile_s:.0f}s)",
           flush=True)
 
@@ -473,4 +484,5 @@ if __name__ == "__main__":
                         kv.get("layers", "full"), int(kv.get("iters", 8)),
                         int(kv.get("gh", 32)), int(kv.get("gw", 32)),
                         kv.get("part", "step"), kv.get("layout", "default"),
-                        kv.get("multires", ""), int(kv.get("accum", 1)))
+                        kv.get("multires", ""), int(kv.get("accum", 1)),
+                        kv.get("tgt", ""), kv.get("ctrls", ""))
