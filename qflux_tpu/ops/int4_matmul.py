@@ -231,3 +231,148 @@ def _int4_vjp_bwd(res, g):
 
 
 int4_matmul.defvjp(_int4_vjp_fwd, _int4_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused W4A8-requant matmul: the regrid-to-int8 happens INSIDE the kernel,
+# so the per-channel int8 weights (q8) never round-trip HBM. The XLA path
+# (ops/quant.requant_int4_matmul) must materialize q8 for its int8
+# dot_general — write K·N + re-read K·N on top of the K·N/2 q4 read, the
+# measured on-the-fly requant tax (docs/PERF.md round 5 per-GEMM A/B). Here
+# each q4 tile is unpacked + regridded in VMEM and fed straight to the int8
+# MXU: HBM weight traffic drops to the K·N/2 q4 bytes (× the m-tile revisit
+# factor — BLOCK_M is raised to make that ~1 at model sequence lengths).
+# Bit-identical to the XLA path: same round/clip chain, same int32
+# accumulation, same f32 output scaling.
+
+RQ_BLOCK_M = int(_os.environ.get("QFLUX_RQ_BM", 1024))
+RQ_BLOCK_N = int(_os.environ.get("QFLUX_RQ_BN", 512))
+RQ_BLOCK_KP = int(_os.environ.get("QFLUX_RQ_BKP", 1536))
+
+
+def _regrid_tile(q, f_lo, f_hi):
+    """q [bkp, bn] int8 packed, f_* [bkp//128, bn] f32 → int8 planes on the
+    per-channel grid (math identical to quant._requant_q8's regrid)."""
+    qi = q.astype(jnp.int32)
+    lo = jnp.left_shift(qi, 28) >> 28
+    hi = jnp.left_shift(qi, 24) >> 28
+    l8 = jnp.clip(jnp.round(lo.astype(jnp.float32)
+                            * jnp.repeat(f_lo, GROUP, axis=0)),
+                  -127, 127).astype(jnp.int8)
+    h8 = jnp.clip(jnp.round(hi.astype(jnp.float32)
+                            * jnp.repeat(f_hi, GROUP, axis=0)),
+                  -127, 127).astype(jnp.int8)
+    return l8, h8
+
+
+def _rq_fwd_kernel(xe_ref, xo_ref, q_ref, flo_ref, fhi_ref, sx_ref, sv_ref,
+                   o_ref, acc, *, nk):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    l8, h8 = _regrid_tile(q_ref[...], flo_ref[...], fhi_ref[...])
+    acc[:] += jax.lax.dot(xe_ref[...], l8, preferred_element_type=jnp.int32)
+    acc[:] += jax.lax.dot(xo_ref[...], h8, preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc[:].astype(jnp.float32) * sx_ref[...] * sv_ref[...]
+                      ).astype(o_ref.dtype)
+
+
+def _rq_bwd_kernel(g_ref, q_ref, flo_ref, fhi_ref, dxe_ref, dxo_ref,
+                   acc_e, acc_o, *, nn):
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _():
+        acc_e[:] = jnp.zeros_like(acc_e)
+        acc_o[:] = jnp.zeros_like(acc_o)
+
+    l8, h8 = _regrid_tile(q_ref[...], flo_ref[...], fhi_ref[...])
+    dn = (((1,), (1,)), ((), ()))
+    acc_e[:] += jax.lax.dot_general(g_ref[...], l8, dn,
+                                    preferred_element_type=jnp.int32)
+    acc_o[:] += jax.lax.dot_general(g_ref[...], h8, dn,
+                                    preferred_element_type=jnp.int32)
+
+    @pl.when(n == nn - 1)
+    def _():
+        dxe_ref[...] = acc_e[...]
+        dxo_ref[...] = acc_o[...]
+
+
+def rq_supports(k_in: int, n_out: int, n_groups: int | None = None) -> bool:
+    """Same layout contract as the bf16 fused kernel."""
+    if n_groups is not None and n_groups * GROUP != k_in:
+        return False
+    return (k_in % (2 * RQ_BLOCK_KP) == 0 and RQ_BLOCK_KP % GROUP == 0
+            and n_out % 128 == 0)
+
+
+def _rq_pick_bn(n: int) -> int:
+    for b in (RQ_BLOCK_N, 384, 256, 128):
+        if n % b == 0:
+            return b
+    raise ValueError(f"N={n} not a multiple of 128")
+
+
+def _rq_fwd(xe, xo, q4, f_lo, f_hi, sx, sv, out_dtype):
+    m, kp = xe.shape
+    n = q4.shape[1]
+    bm = min(RQ_BLOCK_M, m)
+    bn = _rq_pick_bn(n)
+    nm, nn, nk = m // bm, n // bn, kp // RQ_BLOCK_KP
+    sb = RQ_BLOCK_KP // GROUP
+    fspec = pl.BlockSpec((sb, bn), lambda i, j, k: (k, j))
+    return pl.pallas_call(
+        functools.partial(_rq_fwd_kernel, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, RQ_BLOCK_KP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, RQ_BLOCK_KP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((RQ_BLOCK_KP, bn), lambda i, j, k: (k, j)),
+            fspec, fspec,
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(xe, xo, q4, f_lo, f_hi, sx, sv)
+
+
+def _rq_bwd(g, q4, f_lo, f_hi):
+    m, n = g.shape
+    kp = q4.shape[0]
+    bm = min(RQ_BLOCK_M, m)
+    bn = _rq_pick_bn(n)
+    nm, nkp, nn = m // bm, kp // RQ_BLOCK_KP, n // bn
+    sb = RQ_BLOCK_KP // GROUP
+    fspec = pl.BlockSpec((sb, bn), lambda i, k, j: (k, j))
+    return pl.pallas_call(
+        functools.partial(_rq_bwd_kernel, nn=nn),
+        grid=(nm, nkp, nn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, k, j: (i, j)),
+            pl.BlockSpec((RQ_BLOCK_KP, bn), lambda i, k, j: (k, j)),
+            fspec, fspec,
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, RQ_BLOCK_KP), lambda i, k, j: (i, k)),
+            pl.BlockSpec((bm, RQ_BLOCK_KP), lambda i, k, j: (i, k)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m, kp), jnp.int32),
+                   jax.ShapeDtypeStruct((m, kp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((bm, RQ_BLOCK_KP), jnp.int32),
+                        pltpu.VMEM((bm, RQ_BLOCK_KP), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(g, q4, f_lo, f_hi)

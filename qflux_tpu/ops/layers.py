@@ -112,8 +112,20 @@ def _base_matmul(p: Params, x: jax.Array) -> jax.Array:
     if "kernel_q4_rq" in p:
         # W4A8-requant: int4 → per-channel int8 grid on the fly, one int8×int8
         # MXU GEMM (fastest int4 form measured; docs/PERF.md)
+        import os as _os
+
         from qflux_tpu.ops.quant import requant_int4_matmul
 
+        if _os.environ.get("QFLUX_FUSED_RQ") == "1":
+            # opt-in Pallas variant: the regrid happens in VMEM so q8 never
+            # round-trips HBM (the measured requant tax — docs/PERF.md r5)
+            from qflux_tpu.ops.int4_matmul import rq_supports
+            from qflux_tpu.ops.quant import rq_fused_matmul
+
+            q4 = p["kernel_q4_rq"]
+            if q4.ndim == 2 and rq_supports(2 * q4.shape[0], q4.shape[1],
+                                            p["kernel_scale"].shape[-2]):
+                return rq_fused_matmul(x, q4, p["kernel_scale"])
         return requant_int4_matmul(x, p["kernel_q4_rq"], p["kernel_scale"])
     if "kernel_q4_dyn" in p:
         # W4A8-dynamic: per-group int8×int8 on the MXU (opt-in; docs/PERF.md)

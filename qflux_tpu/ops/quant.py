@@ -347,6 +347,71 @@ def _rq4_vjp_bwd(res, g):
 requant_int4_matmul.defvjp(_rq4_vjp_fwd, _rq4_vjp_bwd)
 
 
+# --- fused-kernel W4A8 requant (q8 regridded in VMEM, never in HBM) --------
+
+def _rq_fused_prep(v, q4, g_scale):
+    """Row-quantize + split halves + pad rows for the Pallas grid."""
+    from qflux_tpu.ops import int4_matmul as i4
+
+    f, s_vec = _requant_factors(g_scale)
+    gh = f.shape[-2] // 2
+    *lead, k_in = v.shape
+    m = int(np.prod(lead)) if lead else 1
+    vq, sx = _rowquant(v.reshape(m, k_in))
+    h = k_in // 2
+    xe, xo = vq[:, :h], vq[:, h:]
+    pad_rows = i4.RQ_BLOCK_M if m > i4.RQ_BLOCK_M else 8
+    xe = i4._pad_to(xe, pad_rows, 0)
+    xo = i4._pad_to(xo, pad_rows, 0)
+    sxp = i4._pad_to(sx, pad_rows, 0)
+    return (xe, xo, f[..., :gh, :], f[..., gh:, :], sxp,
+            s_vec.reshape(1, -1), m, lead)
+
+
+def _rq_fused_fwd_raw(x, q4, g_scale):
+    from qflux_tpu.ops import int4_matmul as i4
+
+    xe, xo, f_lo, f_hi, sx, sv, m, lead = _rq_fused_prep(x, q4, g_scale)
+    out = i4._rq_fwd(xe, xo, q4, f_lo, f_hi, sx, sv, x.dtype)
+    return out[:m].reshape(*lead, q4.shape[-1])
+
+
+@jax.custom_vjp
+def rq_fused_matmul(x, q4, g_scale):
+    """Fused-kernel variant of requant_int4_matmul (same math, same
+    straight-through VJP; q8 lives only in VMEM). Gate on
+    int4_matmul.rq_supports(K, N, g_scale.shape[-2]); opt in via
+    QFLUX_FUSED_RQ=1 (ops/layers.dense)."""
+    return _rq_fused_fwd_raw(x, q4, g_scale)
+
+
+def _rqf_vjp_fwd(x, q4, g_scale):
+    return _rq_fused_fwd_raw(x, q4, g_scale), (q4, g_scale)
+
+
+def _rqf_vjp_bwd(res, g):
+    from qflux_tpu.ops import int4_matmul as i4
+
+    q4, g_scale = res
+    f, s_vec = _requant_factors(g_scale)
+    gh = f.shape[-2] // 2
+    *lead, n = g.shape
+    m = int(np.prod(lead)) if lead else 1
+    gs = g.reshape(m, n).astype(jnp.float32) * s_vec
+    gq, sg = _rowquant(gs)
+    pad_rows = i4.RQ_BLOCK_M if m > i4.RQ_BLOCK_M else 8
+    gq = i4._pad_to(gq, pad_rows, 0)
+    dxe, dxo = i4._rq_bwd(gq, q4, f[..., :gh, :], f[..., gh:, :])
+    dx = jnp.concatenate([dxe[:m], dxo[:m]], axis=-1).astype(jnp.float32) * sg
+    k_in = q4.shape[-2] * 2
+    return (dx.reshape(*lead, k_in).astype(g.dtype),
+            np.zeros(q4.shape, jax.dtypes.float0),
+            jnp.zeros_like(g_scale))
+
+
+rq_fused_matmul.defvjp(_rqf_vjp_fwd, _rqf_vjp_bwd)
+
+
 def quantize_tree(params, qcfg) -> dict:
     """Replace every matching dense kernel with {kernel_q, kernel_scale}.
 

@@ -169,6 +169,9 @@ def main():
             "rq_pre": (Q.dyn_int8_matmul, (q8_pre, s_pre)),
             "rq_planes": (_planes_fwd_raw, (q4, g_scale)),
             "rq_bf16": (_bf16_fwd_raw, (q4, g_scale)),
+            # round-5 candidate: Pallas kernel regrids q4->int8 in VMEM and
+            # feeds the int8 MXU directly - q8 never round-trips HBM
+            "rq_fused": (Q.rq_fused_matmul, (q4, g_scale)),
         }
         for m in ms:
             x = jax.random.normal(jax.random.fold_in(kx, m), (m, k_in),
